@@ -1,0 +1,15 @@
+"""canopy-tpu: a TPU-native sparse linear-algebra framework for PRA.
+
+A from-scratch rebuild of the capability set of ``openpra-org/canopy``
+(see SURVEY.md): OpenPSA-MEF fault/event-tree ingestion and validation, a
+compiler from the gate DAG to level-scheduled CSR structure matrices, and
+JAX/XLA/Pallas quantification engines — probability propagation (SpMV-like),
+batched epistemic uncertainty (SpMM-like), Monte-Carlo state sampling,
+importance via autodiff, cut-set generation and approximations — scaling
+over `jax.sharding` meshes.
+"""
+
+__version__ = "0.1.0"
+
+from .settings import Algorithm, Approximation, Settings  # noqa: F401
+from . import errors  # noqa: F401
