@@ -11,5 +11,12 @@ over `jax.sharding` meshes.
 
 __version__ = "0.1.0"
 
-from .settings import Algorithm, Approximation, Settings  # noqa: F401
-from . import errors  # noqa: F401
+# Risk quantification routinely works with probabilities at the 1e-9..1e-2
+# scale and 1e-8 cut-offs; float64 is the correctness default. Performance
+# paths (sampling, Pallas kernels) opt into f32/bf16 with explicit dtypes.
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from .settings import Algorithm, Approximation, Settings  # noqa: F401,E402
+from . import errors  # noqa: F401,E402
