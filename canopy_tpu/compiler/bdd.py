@@ -1,0 +1,364 @@
+"""Binary decision diagrams: the exact quantification structure.
+
+The reference names BDD as its default qualitative/quantitative algorithm
+(``settings.h:13``, ``Algorithm::kBdd``). Direct bottom-up probability
+propagation is exact only for tree-like structures; any shared basic event
+(CCF expansions guarantee them) needs Shannon decomposition. The TPU-native
+split mirrors the reference's host/device split for ``src/bool/bool``:
+
+* **Host (this module)**: reduce the gate DAG to an ROBDD with an
+  ite-based apply, a unique table, and an operation memo — classic
+  CUDD-style construction (no complement edges; NOT is one memoized
+  traversal). Variable order = DFS first-touch order of basic events, a
+  standard structural heuristic.
+* **Device (engine/bdd_eval.py)**: probability evaluation of the ROBDD is
+  a *linear* pass — ``P(node) = p_var * P(high) + (1-p_var) * P(low)`` —
+  which this module level-schedules (longest path from the terminals) so
+  each level is one batched gather+FMA on device: the same
+  static-shape, data-parallel form as the gate propagation, but exact.
+  Batched over a trials axis it is the exact-uncertainty SpMM; under
+  `jax.grad` it yields exact Birnbaum importances.
+
+Construction cost is exponential in the worst case (it is for every BDD
+engine); `max_nodes` guards against blowup so callers can fall back to
+cut-set approximations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..errors import LogicError
+from ..mef.event import BasicEvent, Connective, Formula, Gate, HouseEvent
+from .graph import CompiledTree
+
+__all__ = ["BddForest", "CompiledBdd", "build_bdd"]
+
+_ZERO = 0  # Terminal node indices.
+_ONE = 1
+
+
+class BddBlowupError(LogicError):
+    """BDD construction exceeded the node budget."""
+
+
+class BddForest:
+    """ROBDD manager: unique table + ite/apply memoization."""
+
+    def __init__(self, n_vars: int, max_nodes: int = 2_000_000):
+        self.n_vars = n_vars
+        self.max_nodes = max_nodes
+        # Node storage; index 0/1 are terminals (var = n_vars sentinel).
+        self.var = [n_vars, n_vars]
+        self.low = [0, 1]
+        self.high = [0, 1]
+        self._unique: dict[tuple[int, int, int], int] = {}
+        self._ite_memo: dict[tuple[int, int, int], int] = {}
+        self._not_memo: dict[int, int] = {}
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self.var)
+
+    def mk(self, var: int, low: int, high: int) -> int:
+        if low == high:
+            return low
+        key = (var, low, high)
+        found = self._unique.get(key)
+        if found is not None:
+            return found
+        if self.n_nodes >= self.max_nodes:
+            raise BddBlowupError(
+                f"BDD exceeded {self.max_nodes} nodes; use an approximate "
+                "engine for this model.")
+        index = self.n_nodes
+        self.var.append(var)
+        self.low.append(low)
+        self.high.append(high)
+        self._unique[key] = index
+        return index
+
+    def var_node(self, var: int) -> int:
+        return self.mk(var, _ZERO, _ONE)
+
+    # -- core operations ---------------------------------------------------
+
+    def ite(self, f: int, g: int, h: int) -> int:
+        """if-then-else composition: f ? g : h (iterative, stack-based)."""
+        # Terminal shortcuts.
+        if f == _ONE:
+            return g
+        if f == _ZERO:
+            return h
+        if g == h:
+            return g
+        if g == _ONE and h == _ZERO:
+            return f
+        key = (f, g, h)
+        found = self._ite_memo.get(key)
+        if found is not None:
+            return found
+        top = min(self.var[f], self.var[g], self.var[h])
+
+        def cofactor(node: int, value: bool) -> int:
+            if self.var[node] != top:
+                return node
+            return self.high[node] if value else self.low[node]
+
+        high = self.ite(cofactor(f, True), cofactor(g, True),
+                        cofactor(h, True))
+        low = self.ite(cofactor(f, False), cofactor(g, False),
+                       cofactor(h, False))
+        result = self.mk(top, low, high)
+        self._ite_memo[key] = result
+        return result
+
+    def and_(self, f: int, g: int) -> int:
+        return self.ite(f, g, _ZERO)
+
+    def or_(self, f: int, g: int) -> int:
+        return self.ite(f, _ONE, g)
+
+    def not_(self, f: int) -> int:
+        found = self._not_memo.get(f)
+        if found is not None:
+            return found
+        if f in (_ZERO, _ONE):
+            return _ONE - f
+        result = self.mk(self.var[f], self.not_(self.low[f]),
+                         self.not_(self.high[f]))
+        self._not_memo[f] = result
+        return result
+
+    def xor(self, f: int, g: int) -> int:
+        return self.ite(f, self.not_(g), g)
+
+    def atleast(self, k: int, args: list[int]) -> int:
+        """K-out-of-N over BDD arguments (memoized double recursion)."""
+        memo: dict[tuple[int, int], int] = {}
+
+        def rec(need: int, index: int) -> int:
+            if need <= 0:
+                return _ONE
+            if len(args) - index < need:
+                return _ZERO
+            key = (need, index)
+            found = memo.get(key)
+            if found is not None:
+                return found
+            with_arg = rec(need - 1, index + 1)
+            without_arg = rec(need, index + 1)
+            result = self.ite(args[index], with_arg, without_arg)
+            memo[key] = result
+            return result
+
+        return rec(k, 0)
+
+
+@dataclasses.dataclass
+class CompiledBdd:
+    """An ROBDD root with level-scheduled arrays for device evaluation."""
+
+    root: int
+    complemented: bool           # True when the root is NOT(stored root).
+    n_basic: int
+    n_nodes: int                 # Internal (non-terminal) nodes.
+    # Per level: (var_slot, low_ptr, high_ptr) arrays. Pointers address a
+    # value vector laid out [zero, one, node0, node1, ...].
+    levels: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]
+    # (out_ptr per level included as 4th array)
+    root_ptr: int
+
+    @property
+    def depth(self) -> int:
+        return len(self.levels)
+
+
+def build_bdd(tree: CompiledTree, max_nodes: int = 2_000_000,
+              house_states=None) -> CompiledBdd:
+    """Reduce a compiled gate DAG to an ROBDD and level-schedule it.
+
+    House events fold to constants: ``house_states`` (0/1 array over the
+    tree's house slots) overrides their current model states. Rebuild to
+    change them — unlike the propagation engine, the Shannon structure
+    depends on house values.
+    """
+    if tree.top_index is None:
+        raise LogicError("The compiled tree has no top gate.")
+
+    # Variable order: first-touch DFS order over the compiled structure.
+    order: dict[int, int] = {}
+
+    def touch(slot: int):
+        if slot < tree.n_basic and slot not in order:
+            order[slot] = len(order)
+
+    for level in tree.levels:
+        for block in (level.prod, level.pair, level.count):
+            if block is None:
+                continue
+            for row in np.asarray(block.arg_idx).reshape(-1):
+                touch(int(row))
+    for slot in range(tree.n_basic):
+        touch(slot)
+    var_of_slot = order
+    slot_of_var = {v: s for s, v in var_of_slot.items()}
+
+    forest = BddForest(tree.n_basic, max_nodes=max_nodes)
+    if house_states is None:
+        house_state = {tree.n_basic + i: bool(h.state)
+                       for i, h in enumerate(tree.house_events)}
+    else:
+        house_state = {tree.n_basic + i: bool(house_states[i] > 0.5)
+                       for i in range(tree.n_house)}
+
+    node_bdd: dict[int, int] = {}
+    for slot in range(tree.n_basic):
+        node_bdd[slot] = forest.var_node(var_of_slot[slot])
+    for slot, state in house_state.items():
+        node_bdd[slot] = _ONE if state else _ZERO
+
+    # Gates in slot order are already level-ordered (args first).
+    for gate in tree.gates:
+        slot = tree.gate_index[gate.id]
+        node_bdd[slot] = _formula_bdd(forest, gate.formula, tree, node_bdd)
+
+    root = node_bdd[tree.top_index]
+    return _schedule(forest, root, tree.n_basic, slot_of_var)
+
+
+def _arg_bdd(forest: BddForest, arg, tree: CompiledTree,
+             node_bdd: dict[int, int]) -> int:
+    event = arg.event
+    if isinstance(event, BasicEvent) and event.has_ccf:
+        slot = tree.gate_index[event.ccf_gate.id]
+    elif isinstance(event, Gate):
+        slot = tree.gate_index[event.id]
+    elif isinstance(event, BasicEvent):
+        slot = tree.basic_index[event.id]
+    else:
+        assert isinstance(event, HouseEvent)
+        slot = tree.house_index.get(event.id)
+        if slot is None:  # TRUE/FALSE singletons not in the index.
+            return _ONE if event.state else _ZERO
+    f = node_bdd[slot]
+    return forest.not_(f) if arg.complement else f
+
+
+def _formula_bdd(forest: BddForest, formula: Formula, tree: CompiledTree,
+                 node_bdd: dict[int, int]) -> int:
+    c = formula.connective
+    args = [_arg_bdd(forest, arg, tree, node_bdd) for arg in formula.args]
+    if c is Connective.AND:
+        out = _ONE
+        for a in args:
+            out = forest.and_(out, a)
+        return out
+    if c is Connective.OR:
+        out = _ZERO
+        for a in args:
+            out = forest.or_(out, a)
+        return out
+    if c is Connective.NAND:
+        out = _ONE
+        for a in args:
+            out = forest.and_(out, a)
+        return forest.not_(out)
+    if c is Connective.NOR:
+        out = _ZERO
+        for a in args:
+            out = forest.or_(out, a)
+        return forest.not_(out)
+    if c is Connective.NOT:
+        return forest.not_(args[0])
+    if c is Connective.NULL:
+        return args[0]
+    if c is Connective.XOR:
+        return forest.xor(args[0], args[1])
+    if c is Connective.IFF:
+        return forest.not_(forest.xor(args[0], args[1]))
+    if c is Connective.IMPLY:
+        return forest.or_(forest.not_(args[0]), args[1])
+    if c is Connective.ATLEAST:
+        return forest.atleast(formula.min_number, args)
+    if c is Connective.CARDINALITY:
+        lo, hi = formula.min_number, formula.max_number
+        at_lo = forest.atleast(lo, args) if lo > 0 else _ONE
+        above = forest.atleast(hi + 1, args) if hi < len(args) else _ZERO
+        return forest.and_(at_lo, forest.not_(above))
+    raise LogicError(f"Unsupported connective for BDD: {c}")
+
+
+def _schedule(forest: BddForest, root: int, n_basic: int,
+              slot_of_var: dict[int, int]) -> CompiledBdd:
+    """Collect reachable nodes and group them into dependency levels."""
+    if root in (_ZERO, _ONE):
+        return CompiledBdd(root=root, complemented=False, n_basic=n_basic,
+                           n_nodes=0, levels=[], root_ptr=root)
+
+    # Reachable set (iterative DFS).
+    reachable: list[int] = []
+    seen = {_ZERO, _ONE}
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if node in seen:
+            continue
+        seen.add(node)
+        reachable.append(node)
+        stack.append(forest.low[node])
+        stack.append(forest.high[node])
+
+    # Depth = 1 + max(depth of children); terminals at depth 0.
+    # Computed over an explicit post-order (children before parents).
+    depth: dict[int, int] = {_ZERO: 0, _ONE: 0}
+    order_stack: list[tuple[int, bool]] = [(root, False)]
+    post: list[int] = []
+    visited: set[int] = set()
+    while order_stack:
+        node, expanded = order_stack.pop()
+        if node in (_ZERO, _ONE):
+            continue
+        if expanded:
+            post.append(node)
+            continue
+        if node in visited:
+            continue
+        visited.add(node)
+        order_stack.append((node, True))
+        order_stack.append((forest.low[node], False))
+        order_stack.append((forest.high[node], False))
+    for node in post:
+        depth[node] = 1 + max(depth[forest.low[node]],
+                              depth[forest.high[node]])
+
+    n_levels = max(depth[n] for n in post)
+    by_level: list[list[int]] = [[] for _ in range(n_levels)]
+    for node in post:
+        by_level[depth[node] - 1].append(node)
+
+    # Value-vector pointers: [0]=zero, [1]=one, then internal nodes in
+    # level order.
+    ptr: dict[int, int] = {_ZERO: 0, _ONE: 1}
+    next_ptr = 2
+    for level_nodes in by_level:
+        for node in level_nodes:
+            ptr[node] = next_ptr
+            next_ptr += 1
+
+    levels = []
+    for level_nodes in by_level:
+        var_slot = np.array([slot_of_var[forest.var[n]]
+                             for n in level_nodes], dtype=np.int32)
+        low_ptr = np.array([ptr[forest.low[n]] for n in level_nodes],
+                           dtype=np.int32)
+        high_ptr = np.array([ptr[forest.high[n]] for n in level_nodes],
+                            dtype=np.int32)
+        out_ptr = np.array([ptr[n] for n in level_nodes], dtype=np.int32)
+        levels.append((var_slot, low_ptr, high_ptr, out_ptr))
+
+    return CompiledBdd(root=root, complemented=False, n_basic=n_basic,
+                       n_nodes=len(post), levels=levels,
+                       root_ptr=ptr[root])

@@ -201,11 +201,10 @@ def _gather_reachable(roots: Iterable[Gate], ccf: bool):
 
 
 def _resolve_slot(event, basic_slot, house_slot, gate_slot) -> int:
+    """Slot lookup after CCF indirection has already been applied."""
     if isinstance(event, Gate):
         return gate_slot[id(event)]
     if isinstance(event, BasicEvent):
-        if event.has_ccf:
-            return gate_slot[id(event.ccf_gate)]
         return basic_slot[id(event)]
     return house_slot[id(event)]
 

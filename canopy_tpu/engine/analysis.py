@@ -1,0 +1,456 @@
+"""The analysis driver: Settings x Model -> Report.
+
+The orchestration layer the reference specified but never built (its CLI
+and engine are absent; ``Settings`` + CI are the contract — SURVEY.md §1).
+One :class:`RiskAnalysis` run covers, per fault-tree top event:
+
+* **probability** — per the configured approximation: exact-style direct
+  propagation (``none``), rare-event/MCUB over minimal products, or
+  Monte-Carlo state simulation;
+* **products** — MOCUS-style minimal cut sets (unless ``skip_products``),
+  with non-declarative substitutions applied (delete-terms /
+  recovery-rule / exchange-event semantics);
+* **importance** — autodiff-based measures (one backward pass);
+* **uncertainty** — batched epistemic sampling through the expression
+  tape (SpMM configuration);
+* **SIL** — a time sweep of the same compiled program over the mission
+  time (the tape treats mission time as a traced input) with PFD/PFH
+  averages and IEC 61508 bucket assignment;
+
+and per initiating event: the event-tree walk with per-sequence
+quantification. Alignment phases re-run probability analysis per phase
+with phase-local house states and scaled mission time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..compiler.bdd import BddBlowupError, build_bdd
+from ..compiler.cutsets import CutSetGenerator, Product
+from ..compiler.expr_tape import ExpressionTape
+from ..compiler.graph import CompiledTree, compile_fault_tree, compile_gates
+from ..errors import LogicError
+from ..mef.event import BasicEvent, Gate
+from ..mef.model import Model
+from ..settings import Algorithm, Approximation, Settings
+from .bdd_eval import bdd_probability
+from .cutset_quantify import (build_cutset_matrix, mcub,
+                              product_probabilities, rare_event)
+from .event_tree_walk import walk_event_tree
+from .importance import importance_measures, occurrence_counts
+from .propagate import top_event_probability
+from .sampler import monte_carlo_ci, sample_top_probability
+from .uncertainty import uncertainty_analysis
+
+__all__ = ["RiskAnalysis", "Report", "FaultTreeResult", "SequenceResult"]
+
+#: IEC 61508 SIL bands for average probability of failure on demand.
+_SIL_PFD_BANDS = [(1e-5, 1e-4, 4), (1e-4, 1e-3, 3), (1e-3, 1e-2, 2),
+                  (1e-2, 1e-1, 1)]
+
+
+@dataclasses.dataclass
+class FaultTreeResult:
+    fault_tree: str
+    top_event: str
+    method: str
+    probability: Optional[float] = None
+    mc_std_error: Optional[float] = None
+    products: Optional[list[tuple]] = None      # [(order, prob, [literals])]
+    n_products: Optional[int] = None
+    products_truncated: bool = False
+    importance: Optional[list[dict]] = None
+    uncertainty: Optional[dict] = None
+    sil: Optional[dict] = None
+    phase: Optional[str] = None
+    alignment: Optional[str] = None
+    time_curve: Optional[list[tuple[float, float]]] = None
+
+    def to_dict(self) -> dict:
+        return {k: v for k, v in dataclasses.asdict(self).items()
+                if v is not None}
+
+
+@dataclasses.dataclass
+class SequenceResult:
+    initiating_event: str
+    event_tree: str
+    sequence: str
+    states: dict[str, str]
+    probability: float
+    linked_trees: list[str]
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass
+class Report:
+    model: str
+    settings: dict
+    fault_trees: list[FaultTreeResult]
+    sequences: list[SequenceResult]
+    timings: dict[str, float]
+
+    def to_dict(self) -> dict:
+        return {"model": self.model, "settings": self.settings,
+                "fault_trees": [r.to_dict() for r in self.fault_trees],
+                "sequences": [s.to_dict() for s in self.sequences],
+                "timings": self.timings}
+
+    def to_json(self, **kw) -> str:
+        return json.dumps(self.to_dict(), default=_json_default, **kw)
+
+
+def _json_default(obj: Any):
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    raise TypeError(f"Cannot serialize {type(obj)}")
+
+
+class RiskAnalysis:
+    """Runs every analysis requested by the settings on a model."""
+
+    def __init__(self, model: Model, settings: Settings):
+        self.model = model
+        self.settings = settings
+        self._timings: dict[str, float] = {}
+
+    # -- public ------------------------------------------------------------
+
+    def run(self) -> Report:
+        t0 = time.perf_counter()
+        results: list[FaultTreeResult] = []
+        sequences: list[SequenceResult] = []
+
+        for fault_tree in self.model.fault_trees:
+            if not fault_tree.top_events:
+                fault_tree.collect_top_events()
+            for top in fault_tree.top_events:
+                results.extend(self._analyze_top(fault_tree.name, top))
+
+        for initiating in self.model.initiating_events:
+            if initiating.event_tree is not None:
+                sequences.extend(self._analyze_event_tree(initiating))
+
+        self._timings["total"] = time.perf_counter() - t0
+        return Report(model=self.model.name,
+                      settings=self.settings.to_dict(),
+                      fault_trees=results, sequences=sequences,
+                      timings=dict(self._timings))
+
+    # -- fault trees -------------------------------------------------------
+
+    def _analyze_top(self, tree_name: str, top: Gate,
+                     house_overrides: dict[str, bool] | None = None,
+                     mission_time: float | None = None,
+                     tag: tuple[str, str] | None = None
+                     ) -> list[FaultTreeResult]:
+        settings = self.settings
+        t0 = time.perf_counter()
+        tree = compile_fault_tree(
+            _FaultTreeView(tree_name, [top]), top,
+            use_ccf=settings.ccf_analysis())
+        self._timings[f"compile:{top.id}"] = time.perf_counter() - t0
+
+        mission = (settings.mission_time() if mission_time is None
+                   else mission_time)
+        self.model.mission_time.set_value(mission)
+        tape = ExpressionTape.build(
+            [e.expression for e in tree.basic_events])
+        mean_p = jnp.clip(tape.evaluate_mean(mission), 0.0, 1.0)
+
+        house = tree.house_state_vector()
+        if house_overrides:
+            for event_id, state in house_overrides.items():
+                slot = tree.house_index.get(event_id)
+                if slot is not None:
+                    house[slot - tree.n_basic] = 1.0 if state else 0.0
+        house = jnp.asarray(house)
+
+        # Exact (BDD) evaluator: the default algorithm. House states fold
+        # into the BDD structure, so it is built after overrides apply.
+        top_fn = None
+        method = self._method_name()
+        if settings.algorithm() == Algorithm.BDD and \
+                settings.approximation() == Approximation.NONE:
+            try:
+                t0 = time.perf_counter()
+                bdd = build_bdd(tree, house_states=np.asarray(house))
+                top_fn = lambda p: bdd_probability(bdd, p)  # noqa: E731
+                self._timings[f"bdd:{top.id}"] = time.perf_counter() - t0
+            except BddBlowupError:
+                method = "bdd-fallback/direct-propagation"
+
+        result = FaultTreeResult(
+            fault_tree=tree_name, top_event=top.id, method=method)
+        if tag:
+            result.alignment, result.phase = tag
+
+        # Products (qualitative analysis).
+        products: list[Product] | None = None
+        if not settings.skip_products() and settings.algorithm() in (
+                Algorithm.MOCUS, Algorithm.ZBDD, Algorithm.BDD,
+                Algorithm.DIRECT):
+            t0 = time.perf_counter()
+            generator = CutSetGenerator(
+                tree, limit_order=settings.limit_order(),
+                cut_off=settings.cut_off()
+                if settings.approximation() != Approximation.NONE else 0.0,
+                probabilities=np.asarray(mean_p))
+            products = generator.generate(top)
+            products = self._apply_substitutions(tree, products)
+            result.products_truncated = generator.truncated
+            result.n_products = len(products)
+            self._timings[f"products:{top.id}"] = time.perf_counter() - t0
+
+        if settings.probability_analysis():
+            t0 = time.perf_counter()
+            approx = settings.approximation()
+            if approx == Approximation.NONE:
+                if top_fn is not None:
+                    result.probability = float(top_fn(mean_p))
+                else:
+                    result.probability = float(
+                        top_event_probability(tree, mean_p, house))
+            elif approx in (Approximation.RARE_EVENT, Approximation.MCUB):
+                matrix = build_cutset_matrix(products or [], tree.n_basic)
+                q = product_probabilities(matrix, mean_p)
+                value = rare_event(q) if approx == Approximation.RARE_EVENT \
+                    else mcub(q)
+                result.probability = float(value)
+            else:  # Monte Carlo state simulation.
+                n = settings.num_trials() * settings.sample_size()
+                key = jax.random.PRNGKey(settings.seed())
+                estimate, _ = sample_top_probability(tree, key, mean_p, n,
+                                                     house)
+                result.probability = float(estimate)
+                result.mc_std_error = float(monte_carlo_ci(estimate, n))
+            self._timings[f"probability:{top.id}"] = time.perf_counter() - t0
+
+        if products is not None:
+            probs = np.asarray(product_probabilities(
+                build_cutset_matrix(products, tree.n_basic), mean_p)) \
+                if products else np.zeros(0)
+            listed = sorted(zip(products, probs),
+                            key=lambda pair: -pair[1])
+            result.products = [
+                (len(p), float(q), sorted(
+                    self._literal_name(tree, slot, neg) for slot, neg in p))
+                for p, q in listed[:1000]]
+
+        if settings.importance_analysis():
+            t0 = time.perf_counter()
+            imp = importance_measures(tree, mean_p, house, top_fn=top_fn)
+            if products is not None:
+                imp.occurrences = occurrence_counts(products, tree.n_basic)
+            result.importance = imp.as_table(tree)
+            self._timings[f"importance:{top.id}"] = time.perf_counter() - t0
+
+        if settings.uncertainty_analysis() and tape.n_deviates:
+            t0 = time.perf_counter()
+            unc = uncertainty_analysis(
+                tree, tape, jax.random.PRNGKey(settings.seed()),
+                settings.num_trials(), mission,
+                num_quantiles=settings.num_quantiles(),
+                num_bins=settings.num_bins(), house_states=house,
+                batch_size=(settings.batch_size()
+                            if settings.batch_size() > 1 else None),
+                top_fn=top_fn)
+            ci = unc.confidence_interval(0.95)
+            result.uncertainty = {
+                "mean": unc.mean, "std": unc.std,
+                "error_factor": unc.error_factor,
+                "ci95": list(ci), "n_trials": unc.n_trials,
+                "quantiles": unc.quantiles.tolist(),
+                "histogram_edges": unc.histogram_edges.tolist(),
+                "histogram_density": unc.histogram_density.tolist()}
+            self._timings[f"uncertainty:{top.id}"] = time.perf_counter() - t0
+
+        if settings.safety_integrity_levels():
+            result.sil, result.time_curve = self._sil_analysis(
+                tree, tape, house, mission, top_fn=top_fn)
+
+        out = [result]
+
+        # Alignment phases: per-phase re-analysis (only at the root call).
+        if house_overrides is None and tag is None:
+            for alignment in self.model.alignments:
+                for phase in alignment.phases:
+                    overrides = {inst.name: inst.state
+                                 for inst in phase.instructions}
+                    out.extend(self._analyze_top(
+                        tree_name, top, house_overrides=overrides,
+                        mission_time=mission * phase.time_fraction,
+                        tag=(alignment.name, phase.name)))
+        return out
+
+    def _method_name(self) -> str:
+        algo = self.settings.algorithm().name.lower()
+        approx = self.settings.approximation().name.lower()
+        return f"{algo}/{approx}" if approx != "none" else \
+            f"{algo}/direct-propagation"
+
+    def _literal_name(self, tree: CompiledTree, slot: int, neg: bool) -> str:
+        for event_id, s in tree.basic_index.items():
+            if s == slot:
+                return f"not {event_id}" if neg else event_id
+        return f"slot{slot}"
+
+    # -- SIL ---------------------------------------------------------------
+
+    def _sil_analysis(self, tree: CompiledTree, tape: ExpressionTape,
+                      house, mission: float, top_fn=None):
+        step = self.settings.time_step()
+        times = np.arange(step, mission + step / 2, step)
+        if len(times) == 0:
+            times = np.array([mission])
+        curve = []
+        for t in times:
+            p_t = jnp.clip(tape.evaluate_mean(float(t)), 0.0, 1.0)
+            if top_fn is not None:
+                curve.append(float(top_fn(p_t)))
+            else:
+                curve.append(float(top_event_probability(tree, p_t, house)))
+        curve_arr = np.array(curve)
+        pfd_avg = float(curve_arr.mean())
+        # Average failure frequency (PFH): mean d/dt of the curve.
+        pfh_avg = float(np.gradient(curve_arr, times).mean()) \
+            if len(times) > 1 else pfd_avg / float(times[0])
+        sil_level = 0
+        for lo, hi, level in _SIL_PFD_BANDS:
+            if lo <= pfd_avg < hi:
+                sil_level = level
+                break
+        # Fraction of time in each band (SCRAM-style SIL fractions).
+        fractions = {}
+        for lo, hi, level in _SIL_PFD_BANDS:
+            fractions[f"SIL{level}"] = float(
+                np.mean((curve_arr >= lo) & (curve_arr < hi)))
+        sil = {"pfd_avg": pfd_avg, "pfh_avg": pfh_avg,
+               "sil_level": sil_level, "pfd_fractions": fractions}
+        time_curve = list(zip(times.tolist(), curve_arr.tolist()))
+        return sil, time_curve
+
+    # -- substitutions -----------------------------------------------------
+
+    def _apply_substitutions(self, tree: CompiledTree,
+                             products: list[Product]) -> list[Product]:
+        """Apply substitution semantics at the product level."""
+        substitutions = list(self.model.substitutions)
+        if not substitutions:
+            return products
+
+        def slot_of(event: BasicEvent) -> int | None:
+            return tree.basic_index.get(event.id)
+
+        out = products
+        for substitution in substitutions:
+            hypothesis_slots = []
+            skip = False
+            for arg in substitution.hypothesis.args:
+                slot = slot_of(arg.event)
+                if slot is None:
+                    skip = True
+                    break
+                hypothesis_slots.append((slot, arg.complement))
+            if skip:
+                continue
+            hyp = set(hypothesis_slots)
+            source_slots = {slot_of(e) for e in substitution.source}
+            source_slots.discard(None)
+            target = substitution.target
+
+            new_products: list[Product] = []
+            for product in out:
+                literals = set(product)
+                if not hyp <= literals:
+                    new_products.append(product)
+                    continue
+                # Hypothesis satisfied by this product.
+                if target is False:
+                    continue  # delete-terms: drop the product.
+                if target is True or not source_slots:
+                    new_products.append(product)
+                    continue
+                replaced = {lit for lit in literals
+                            if lit[0] not in source_slots}
+                if isinstance(target, BasicEvent):
+                    t_slot = slot_of(target)
+                    if t_slot is not None:
+                        replaced.add((t_slot, False))
+                new_products.append(frozenset(replaced))
+            out = new_products
+        # Re-minimize after rewriting.
+        return CutSetGenerator._minimize(out)
+
+    # -- event trees -------------------------------------------------------
+
+    def _analyze_event_tree(self, initiating) -> list[SequenceResult]:
+        t0 = time.perf_counter()
+        outcomes = walk_event_tree(self.model, initiating)
+        results = []
+        mission = self.settings.mission_time()
+        for i, outcome in enumerate(outcomes):
+            probability = 1.0
+            # Initiating event frequency/probability if provided.
+            if getattr(initiating, "expression", None) is not None:
+                probability *= initiating.expression.value()
+            for expression in outcome.expressions:
+                probability *= expression.value()
+            gate = outcome.conjoined_gate(f"__seq{i}__")
+            if gate is not None:
+                tree = compile_gates([gate],
+                                     use_ccf=self.settings.ccf_analysis())
+                tree.top_index = tree.gate_index[gate.id]
+                tape = ExpressionTape.build(
+                    [e.expression for e in tree.basic_events])
+                mean_p = jnp.clip(tape.evaluate_mean(mission), 0.0, 1.0)
+                house = tree.house_state_vector()
+                for event_id, state in outcome.house_states.items():
+                    slot = tree.house_index.get(event_id)
+                    if slot is not None:
+                        house[slot - tree.n_basic] = 1.0 if state else 0.0
+                # Exact quantification when the algorithm allows it:
+                # sequence conditions share events across paths.
+                if self.settings.algorithm() == Algorithm.BDD:
+                    try:
+                        bdd = build_bdd(tree, house_states=house)
+                        probability *= float(bdd_probability(bdd, mean_p))
+                    except BddBlowupError:
+                        probability *= float(top_event_probability(
+                            tree, mean_p, jnp.asarray(house)))
+                else:
+                    probability *= float(top_event_probability(
+                        tree, mean_p, jnp.asarray(house)))
+            results.append(SequenceResult(
+                initiating_event=initiating.name,
+                event_tree=initiating.event_tree.name,
+                sequence=outcome.sequence.name,
+                states=outcome.states,
+                probability=probability,
+                linked_trees=outcome.linked_trees))
+        self._timings[f"event-tree:{initiating.name}"] = \
+            time.perf_counter() - t0
+        return results
+
+
+class _FaultTreeView:
+    """Minimal adapter so compile_fault_tree can anchor at a chosen top."""
+
+    def __init__(self, name: str, top_events: list[Gate]):
+        self.name = name
+        self.top_events = top_events
+
+    def collect_top_events(self):  # pragma: no cover - already collected
+        pass

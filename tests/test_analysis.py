@@ -1,0 +1,153 @@
+"""Integration tests: the full RiskAnalysis driver on the demo plant."""
+
+import json
+import math
+import os
+
+import pytest
+
+from canopy_tpu.mef import Initializer
+from canopy_tpu.engine.analysis import RiskAnalysis
+from canopy_tpu.settings import Settings
+
+from helpers import build_model
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "demo_plant.xml")
+
+
+def load_demo(settings):
+    return Initializer([FIXTURE], settings).model
+
+
+def expected_demo_probability(mission=8760.0, maintenance=False):
+    """Hand-computed exact P(cooling-failed) for the demo plant."""
+    q_valve = 1 - math.exp(-1e-6 * mission)
+    q_pump = 0.004
+    beta = 0.1
+    qi = (1 - beta) * q_pump
+    qc = beta * q_pump
+    p_a = 1 - (1 - qi) * (1 - q_valve) if not maintenance else 1.0
+    p_b = 1 - (1 - qi) * (1 - q_valve)
+    return qc + (1 - qc) * p_a * p_b
+
+
+class TestProbability:
+    def test_exact_bdd_with_ccf(self):
+        settings = (Settings().probability_analysis(True)
+                    .ccf_analysis(True))
+        model = load_demo(settings)
+        report = RiskAnalysis(model, settings).run()
+        base = [r for r in report.fault_trees if r.alignment is None]
+        assert len(base) == 1
+        assert abs(base[0].probability - expected_demo_probability()) < 1e-12
+        assert base[0].method == "bdd/direct-propagation"
+
+    def test_alignment_phases(self):
+        settings = (Settings().probability_analysis(True)
+                    .ccf_analysis(True))
+        model = load_demo(settings)
+        report = RiskAnalysis(model, settings).run()
+        phases = {r.phase: r for r in report.fault_trees
+                  if r.alignment == "operations"}
+        assert set(phases) == {"at-power", "maintenance"}
+        assert abs(phases["at-power"].probability -
+                   expected_demo_probability(8760.0 * 0.9)) < 1e-12
+        assert abs(phases["maintenance"].probability -
+                   expected_demo_probability(8760.0 * 0.1, maintenance=True)
+                   ) < 1e-12
+
+    def test_rare_event_approximation(self):
+        settings = (Settings().algorithm("mocus")
+                    .probability_analysis(True).ccf_analysis(True))
+        model = load_demo(settings)
+        report = RiskAnalysis(model, settings).run()
+        base = [r for r in report.fault_trees if r.alignment is None][0]
+        exact = expected_demo_probability()
+        assert base.probability >= exact - 1e-12   # Upper bound.
+        assert abs(base.probability - exact) < 1e-4
+        assert base.n_products > 0
+
+    def test_monte_carlo(self):
+        settings = (Settings().approximation("monte-carlo")
+                    .probability_analysis(True).ccf_analysis(True)
+                    .num_trials(200000).seed(13))
+        model = load_demo(settings)
+        report = RiskAnalysis(model, settings).run()
+        base = [r for r in report.fault_trees if r.alignment is None][0]
+        exact = expected_demo_probability()
+        assert abs(base.probability - exact) < 5 * base.mc_std_error + 1e-4
+
+
+class TestImportanceUncertainty:
+    def test_importance_table(self):
+        settings = (Settings().importance_analysis(True)
+                    .ccf_analysis(True))
+        model = load_demo(settings)
+        report = RiskAnalysis(model, settings).run()
+        base = [r for r in report.fault_trees if r.alignment is None][0]
+        table = {row["event"]: row for row in base.importance}
+        ccf_common = "[pump-a pump-b]"
+        assert ccf_common in table
+        # The common-cause event dominates risk achievement.
+        assert table[ccf_common]["RAW"] > 100
+        for row in table.values():
+            assert row["MIF"] >= -1e-12
+            assert row["RRW"] >= 1.0 - 1e-12
+
+    def test_uncertainty(self):
+        settings = (Settings().uncertainty_analysis(True)
+                    .ccf_analysis(True).num_trials(2000).seed(7))
+        model = load_demo(settings)
+        report = RiskAnalysis(model, settings).run()
+        base = [r for r in report.fault_trees if r.alignment is None][0]
+        unc = base.uncertainty
+        assert unc is not None
+        # The mean over lognormal Q samples should be near the point value.
+        assert abs(unc["mean"] - expected_demo_probability()) \
+            < 0.5 * expected_demo_probability()
+        assert unc["ci95"][0] < unc["mean"] < unc["ci95"][1]
+
+
+class TestSil:
+    def test_sil_time_sweep(self):
+        settings = (Settings().time_step(876.0)
+                    .safety_integrity_levels(True).ccf_analysis(True))
+        model = load_demo(settings)
+        report = RiskAnalysis(model, settings).run()
+        base = [r for r in report.fault_trees if r.alignment is None][0]
+        assert base.sil is not None
+        assert len(base.time_curve) == 10
+        # The curve is nondecreasing in mission time for this model.
+        values = [v for _, v in base.time_curve]
+        assert all(b >= a - 1e-15 for a, b in zip(values, values[1:]))
+        assert base.sil["sil_level"] >= 1
+
+
+class TestEventTrees:
+    def test_sequences_sum_to_one(self):
+        settings = Settings().probability_analysis(True).ccf_analysis(True)
+        model = load_demo(settings)
+        report = RiskAnalysis(model, settings).run()
+        assert len(report.sequences) == 2
+        by_name = {s.sequence: s for s in report.sequences}
+        assert set(by_name) == {"OK", "CoreDamage"}
+        total = sum(s.probability for s in report.sequences)
+        assert abs(total - 1.0) < 1e-9
+        assert abs(by_name["CoreDamage"].probability -
+                   expected_demo_probability()) < 1e-9
+        assert by_name["CoreDamage"].states == {"Cooling": "failure"}
+
+
+class TestReport:
+    def test_json_round_trip(self):
+        settings = (Settings().importance_analysis(True)
+                    .uncertainty_analysis(True).num_trials(100)
+                    .ccf_analysis(True))
+        model = load_demo(settings)
+        report = RiskAnalysis(model, settings).run()
+        payload = json.loads(report.to_json())
+        assert payload["model"] == "demo-plant"
+        assert payload["settings"]["ccf_analysis"] is True
+        assert payload["fault_trees"]
+        assert "total" in payload["timings"]
