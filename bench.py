@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark harness: batched gate-propagation throughput vs HBM roofline.
+
+Measures the flagship compute path — bottom-up probability propagation of a
+synthetic benchmark-scale fault tree, batched over a trials axis (the SpMM
+configuration of BASELINE.json config 2/3) — and reports effective
+nnz x trials processed per second against the chip's HBM roofline for the
+gather-dominated access pattern.
+
+Prints exactly one JSON line on stdout:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+(vs_baseline = fraction of the HBM roofline achieved; BASELINE.md target
+is >= 0.70). Details go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _hbm_bandwidth_bytes() -> float:
+    """Per-chip HBM bandwidth estimate from the detected TPU generation."""
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "").lower()
+    table = {"v4": 1.228e12, "v5e": 8.19e11, "v5p": 2.765e12,
+             "v6e": 1.64e12}
+    if gen in table:
+        return table[gen]
+    try:
+        import jax
+        kind = jax.devices()[0].device_kind.lower()
+        for key, bw in table.items():
+            if key in kind.replace(" ", ""):
+                return bw
+        if "lite" in kind:
+            return table["v5e"]
+    except Exception:
+        pass
+    return 8.19e11  # Conservative default (v5e-class).
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from canopy_tpu.engine.propagate import propagate_probability
+    from canopy_tpu.utils.synthetic import synthetic_compiled_tree
+
+    n_trials = int(os.environ.get("BENCH_TRIALS", "256"))
+    n_gates = int(os.environ.get("BENCH_GATES", "200000"))
+    fanin = int(os.environ.get("BENCH_FANIN", "4"))
+    dtype = jnp.float32
+
+    tree = synthetic_compiled_tree(n_basic=8192, n_gates=n_gates,
+                                   fanin=fanin, n_levels=14, seed=0)
+    nnz = tree.nnz
+    print(f"bench: {tree.n_gates} gates, nnz={nnz}, depth={tree.depth}, "
+          f"trials={n_trials}, dtype={dtype.__name__}, "
+          f"backend={jax.default_backend()}", file=sys.stderr)
+
+    house = jnp.zeros((0,), dtype=dtype)
+
+    # Iterations are chained inside one jitted fori_loop and reduced to a
+    # scalar: a single dispatch and a single device-to-host transfer, so
+    # remote/async dispatch semantics cannot fake the timing. Each
+    # iteration perturbs the input (no CSE across iterations).
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def repeat_step(basic_p, n_iter):
+        def body(i, acc):
+            p = basic_p * (1.0 + 1e-7 * i)
+            vals = propagate_probability(tree, p, house)
+            return acc + vals[..., tree.top_index].sum()
+        return jax.lax.fori_loop(0, n_iter, body, jnp.asarray(0.0, dtype))
+
+    rng = np.random.default_rng(0)
+    basic_p = jnp.asarray(
+        rng.uniform(0.0, 0.05, (n_trials, tree.n_basic)), dtype=dtype)
+
+    iters = int(os.environ.get("BENCH_ITERS", "16"))
+
+    def timed(n_iter):
+        float(repeat_step(basic_p, n_iter))  # Warmup/compile this variant.
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(repeat_step(basic_p, n_iter))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # Differencing two iteration counts cancels fixed dispatch/transfer
+    # overhead (significant on tunneled devices).
+    t_small = timed(2)
+    t_large = timed(2 + iters)
+    elapsed = max((t_large - t_small) / iters, 1e-9)
+
+    value = nnz * n_trials / elapsed
+
+    # Roofline: per (nnz x trial) the gather reads 4 bytes and the gate
+    # write amortizes to 4/fanin bytes; value-vector streaming re-reads
+    # add ~4/fanin more. ~ (4 + 8/fanin) bytes per element.
+    bytes_per_element = 4.0 + 8.0 / fanin
+    roofline = _hbm_bandwidth_bytes() / bytes_per_element
+    vs_baseline = value / roofline
+
+    print(f"bench: {elapsed*1e3:.2f} ms/iter, {value/1e9:.2f} Gnnz*trials/s, "
+          f"roofline {roofline/1e9:.2f} G/s, fraction {vs_baseline:.3f}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "spmm_gate_propagation_nnz_trials_per_s",
+        "value": value,
+        "unit": "nnz*trials/s",
+        "vs_baseline": vs_baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

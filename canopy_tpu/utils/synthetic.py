@@ -1,0 +1,116 @@
+"""Synthetic fault-tree generation, at two levels.
+
+* :func:`synthetic_mef_tree` builds real MEF objects (gates/events with
+  expressions) — used for golden tests and moderate sizes.
+* :func:`synthetic_compiled_tree` builds :class:`CompiledTree` arrays
+  directly with numpy — the fast path for benchmark-scale structures
+  (1M+ gates) where constructing Python objects would dominate.
+
+Both produce layered DAGs shaped like PRA fault trees: a wide bottom of
+basic events, levels of and/or (optionally atleast) gates whose arguments
+are drawn from lower levels with locality bias, converging to one top.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..compiler.graph import (CompiledTree, CountBlock, LevelBlock,
+                              PairBlock, ProdBlock)
+from ..mef.event import Arg, BasicEvent, Connective, Formula, Gate
+from ..mef.expr.constant import ConstantExpression
+
+__all__ = ["synthetic_mef_tree", "synthetic_compiled_tree"]
+
+
+def synthetic_mef_tree(n_basic: int = 60, n_gates: int = 40, fanin: int = 3,
+                       seed: int = 0, p_range=(1e-4, 1e-2),
+                       atleast_fraction: float = 0.1):
+    """(top gate, basic events) as real MEF objects."""
+    rng = np.random.default_rng(seed)
+    events = []
+    for i in range(n_basic):
+        e = BasicEvent(f"be{i}")
+        e.expression = ConstantExpression(
+            float(rng.uniform(np.log(p_range[0]), np.log(p_range[1]))))
+        e.expression._value = float(np.exp(e.expression._value))
+        events.append(e)
+    pool: list = list(events)
+    gates = []
+    for gi in range(n_gates - 1):
+        k = int(rng.integers(2, fanin + 2))
+        k = min(k, len(pool))
+        chosen = rng.choice(len(pool), size=k, replace=False)
+        u = rng.random()
+        gate = Gate(f"sg{gi}")
+        args = [Arg(pool[int(c)], bool(rng.random() < 0.05)) for c in chosen]
+        if u < atleast_fraction and k >= 3:
+            gate.formula = Formula(Connective.ATLEAST, args, min_number=2)
+        elif u < 0.5 + atleast_fraction / 2:
+            gate.formula = Formula(Connective.AND, args) if k >= 2 else \
+                Formula(Connective.NULL, args)
+        else:
+            gate.formula = Formula(Connective.OR, args) if k >= 2 else \
+                Formula(Connective.NULL, args)
+        gates.append(gate)
+        pool.append(gate)
+    top = Gate("synthetic-top")
+    roots = [g for g in gates if not g.usage] or gates[-2:]
+    if len(roots) == 1:
+        roots = roots + [gates[0] if gates[0] is not roots[0] else events[0]]
+    top.formula = Formula(Connective.OR, [Arg(r) for r in roots[:8]])
+    return top, events
+
+
+def synthetic_compiled_tree(n_basic: int = 4096, n_gates: int = 100_000,
+                            fanin: int = 4, n_levels: int = 12,
+                            seed: int = 0) -> CompiledTree:
+    """A benchmark-scale compiled tree (prod-family gates only).
+
+    Levels shrink geometrically toward the top; every gate draws ``fanin``
+    arguments from the slots below it (biased toward the previous level,
+    the common fault-tree shape). nnz = n_gates * fanin.
+    """
+    rng = np.random.default_rng(seed)
+    # Geometric level sizes summing to n_gates, last level = 1 (the top).
+    raw = np.geomspace(n_gates, 1, n_levels)
+    sizes = np.maximum((raw / raw.sum() * (n_gates - 1)).astype(np.int64), 1)
+    sizes[-1] = 1
+    deficit = n_gates - int(sizes.sum())
+    sizes[0] += deficit
+
+    levels = []
+    next_slot = n_basic  # No house events.
+    prev_level_start = 0
+    prev_level_size = n_basic
+    for level_size in sizes:
+        level_size = int(level_size)
+        out_idx = np.arange(next_slot, next_slot + level_size,
+                            dtype=np.int32)
+        # 70% of edges to the previous level, 30% anywhere below.
+        local = rng.integers(prev_level_start,
+                             prev_level_start + prev_level_size,
+                             size=(level_size, fanin))
+        anywhere = rng.integers(0, next_slot, size=(level_size, fanin))
+        pick_local = rng.random((level_size, fanin)) < 0.7
+        arg_idx = np.where(pick_local, local, anywhere).astype(np.int32)
+        # Alternate and/or gates; no complements on the hot path.
+        is_or = (rng.random(level_size) < 0.5)
+        arg_flip = np.broadcast_to(is_or[:, None],
+                                   (level_size, fanin)).copy()
+        inv_out = is_or.copy()
+        arg_mask = np.ones((level_size, fanin), dtype=bool)
+        levels.append(LevelBlock(
+            prod=ProdBlock(out_idx, arg_idx, arg_flip, arg_mask, inv_out),
+            pair=None, count=None))
+        prev_level_start = next_slot
+        prev_level_size = level_size
+        next_slot += level_size
+
+    return CompiledTree(
+        n_basic=n_basic, n_house=0, n_gates=int(sizes.sum()),
+        basic_index={f"be{i}": i for i in range(n_basic)},
+        house_index={},
+        gate_index={f"g{i}": n_basic + i for i in range(int(sizes.sum()))},
+        levels=levels, basic_events=[], house_events=[], gates=[],
+        top_index=next_slot - 1)
