@@ -47,7 +47,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from canopy_tpu.engine.propagate import propagate_probability
+    from canopy_tpu.engine.propagate import top_event_probability
     from canopy_tpu.utils.synthetic import synthetic_compiled_tree
 
     n_trials = int(os.environ.get("BENCH_TRIALS", "256"))
@@ -74,8 +74,7 @@ def main() -> None:
     def repeat_step(basic_p, n_iter):
         def body(i, acc):
             p = basic_p * (1.0 + 1e-7 * i)
-            vals = propagate_probability(tree, p, house)
-            return acc + vals[..., tree.top_index].sum()
+            return acc + top_event_probability(tree, p, house).sum()
         return jax.lax.fori_loop(0, n_iter, body, jnp.asarray(0.0, dtype))
 
     rng = np.random.default_rng(0)

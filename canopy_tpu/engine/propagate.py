@@ -5,34 +5,37 @@ engine: given per-basic-event probabilities (optionally batched over a
 trials axis) and house-event states, propagate through the level schedule
 to get every gate's probability under the independence assumption.
 
-TPU shape of the computation, per level (see ``compiler/graph.py``):
+Memory layout is **node-major**: the working value matrix is
+``(n_nodes, n_trials)`` with the trials axis in vector lanes, so each
+argument fetch is a *contiguous row* (one or more full cache lines /
+VREGs per node) and each level's output is a contiguous row-block
+scatter. The batch-leading public API transposes at the boundary; the
+trials-leading layout would turn every gather into a strided column read
+and costs ~12x on HBM-bound trees (measured on v5e).
 
-* ``prod`` family — one gather from the value vector, one elementwise
-  conditional complement (fused by XLA), one product-reduce along the
-  padded fan-in axis, one scatter. This is the CSR-SpMV access pattern
-  with the "+/x" semiring replaced by product-of-complements; batched over
-  trials it becomes the SpMM pattern that feeds the MXU-friendly layouts.
-* ``pair`` family — closed-form xor/iff on two gathered columns.
-* ``count`` family — a Poisson-binomial dynamic program: a `lax.scan`
-  over the padded argument axis carrying a ``(G, cap+1)`` count
-  distribution with an absorbing cap. Exact for atleast/cardinality
-  without combinatorial expansion.
+Per level (see ``compiler/graph.py``):
 
-Everything is `jit`/`vmap`/`grad`-compatible: batching over trials gives
-the uncertainty engine, and `jax.grad` through this function gives every
-Birnbaum importance in one backward pass (see ``engine/importance.py``).
+* ``prod`` family — one row gather, one fused conditional complement,
+  one product-reduce over the padded fan-in axis, one row-block scatter:
+  the CSR-SpMV access pattern in the (x, *) semiring, which becomes the
+  SpMM pattern when trials are batched.
+* ``pair`` family — closed-form xor/iff on two gathered rows.
+* ``count`` family — a Poisson-binomial dynamic program (`lax.scan` over
+  the fan-in axis carrying a count distribution with an absorbing cap).
+  Exact for atleast/cardinality without combinatorial expansion.
+
+Everything is `jit`/`vmap`/`grad`-compatible.
 
 Exactness note: like any bottom-up probability propagation, results are
 exact when no basic event feeds two different argument paths of the same
-gate subgraph (tree-like structure) and conservative-approximate otherwise;
-the analysis driver cross-checks against cut-set quantification and
-Monte-Carlo state sampling for shared-event models (SCRAM semantics:
-BDD-exact analysis is the round-2 target).
+gate subgraph and approximate otherwise; the BDD engine
+(``engine/bdd_eval.py``) is the exact path for shared-event models.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -41,70 +44,59 @@ import numpy as np
 from ..compiler.graph import CompiledTree, CountBlock, LevelBlock, PairBlock, ProdBlock
 
 __all__ = ["propagate_probability", "top_event_probability",
-           "make_propagator"]
+           "propagate_node_major", "make_propagator"]
 
 
-def _eval_prod(vals: jnp.ndarray, block: ProdBlock) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Evaluate the product family: returns (out_idx, out_values)."""
-    v = vals[..., block.arg_idx]                      # (..., G, F) gather
-    flip = jnp.asarray(block.arg_flip)
-    mask = jnp.asarray(block.arg_mask)
+def _eval_prod(vals: jnp.ndarray, block: ProdBlock):
+    """vals: (n_nodes, B). Returns (out_idx, out (G, B))."""
+    v = vals[block.arg_idx]                            # (G, F, B) row gather
+    flip = jnp.asarray(block.arg_flip)[..., None]
+    mask = jnp.asarray(block.arg_mask)[..., None]
     x = jnp.where(flip, 1.0 - v, v)
-    x = jnp.where(mask, x, 1.0)                       # Neutral pad.
-    p = jnp.prod(x, axis=-1)
-    out = jnp.where(jnp.asarray(block.inv_out), 1.0 - p, p)
+    x = jnp.where(mask, x, 1.0)                        # Neutral pad.
+    p = jnp.prod(x, axis=1)
+    out = jnp.where(jnp.asarray(block.inv_out)[:, None], 1.0 - p, p)
     return jnp.asarray(block.out_idx), out
 
 
-def _eval_pair(vals: jnp.ndarray, block: PairBlock) -> tuple[jnp.ndarray, jnp.ndarray]:
-    v = vals[..., block.arg_idx]                      # (..., G, 2)
-    neg = jnp.asarray(block.arg_neg)
+def _eval_pair(vals: jnp.ndarray, block: PairBlock):
+    v = vals[block.arg_idx]                            # (G, 2, B)
+    neg = jnp.asarray(block.arg_neg)[..., None]
     v = jnp.where(neg, 1.0 - v, v)
-    a, b = v[..., 0], v[..., 1]
+    a, b = v[:, 0, :], v[:, 1, :]
     xor = a + b - 2.0 * a * b
-    out = jnp.where(jnp.asarray(block.is_iff), 1.0 - xor, xor)
+    out = jnp.where(jnp.asarray(block.is_iff)[:, None], 1.0 - xor, xor)
     return jnp.asarray(block.out_idx), out
 
 
-def _eval_count(vals: jnp.ndarray, block: CountBlock) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Poisson-binomial DP over the argument axis with absorbing cap.
-
-    Carries dp of shape (..., G, cap+1): dp[..., j] = P(exactly j of the
-    arguments processed so far are true), with state ``cap`` meaning
-    ">= cap". The final per-gate output sums dp over [min_num, max_num]
-    (the cap absorbs correctly because cap > max_num for every gate in
-    the block by construction).
-    """
-    v = vals[..., block.arg_idx]                       # (..., G, F)
-    neg = jnp.asarray(block.arg_neg)
-    mask = jnp.asarray(block.arg_mask)
+def _eval_count(vals: jnp.ndarray, block: CountBlock):
+    """Poisson-binomial DP with absorbing cap (state ``cap`` = ">= cap")."""
+    v = vals[block.arg_idx]                            # (G, F, B)
+    neg = jnp.asarray(block.arg_neg)[..., None]
+    mask = jnp.asarray(block.arg_mask)[..., None]
     v = jnp.where(neg, 1.0 - v, v)
     v = jnp.where(mask, v, 0.0)                        # Pad: never true.
 
     cap = block.cap
-    batch_shape = v.shape[:-1]                         # (..., G)
-    dp0 = jnp.zeros(batch_shape + (cap + 1,), dtype=v.dtype)
-    dp0 = dp0.at[..., 0].set(1.0)
+    G, _F, B = v.shape
+    dp0 = jnp.zeros((G, cap + 1, B), dtype=v.dtype)
+    dp0 = dp0.at[:, 0, :].set(1.0)
 
     def step(dp, p_col):
-        # p_col: (..., G) probability of this argument being true.
-        p = p_col[..., None]
+        p = p_col[:, None, :]                          # (G, 1, B)
         shifted = jnp.concatenate(
-            [jnp.zeros_like(dp[..., :1]), dp[..., :-1]], axis=-1)
+            [jnp.zeros_like(dp[:, :1, :]), dp[:, :-1, :]], axis=1)
         new = dp * (1.0 - p) + shifted * p
-        # Absorb: mass that was already at cap and drew "true" stays.
-        new = new.at[..., cap].add(dp[..., cap] * p[..., 0])
+        new = new.at[:, cap, :].add(dp[:, cap, :] * p[:, 0, :])
         return new, None
 
-    # Scan over the fan-in axis (moved to front).
-    v_scan = jnp.moveaxis(v, -1, 0)                    # (F, ..., G)
+    v_scan = jnp.moveaxis(v, 1, 0)                     # (F, G, B)
     dp, _ = jax.lax.scan(step, dp0, v_scan)
 
     counts = jnp.arange(cap + 1)
-    min_num = jnp.asarray(block.min_num)[..., None]    # (G, 1)
-    max_num = jnp.asarray(block.max_num)[..., None]
-    in_range = (counts >= min_num) & (counts <= max_num)
-    out = jnp.sum(jnp.where(in_range, dp, 0.0), axis=-1)
+    in_range = ((counts[None, :] >= jnp.asarray(block.min_num)[:, None]) &
+                (counts[None, :] <= jnp.asarray(block.max_num)[:, None]))
+    out = jnp.sum(jnp.where(in_range[..., None], dp, 0.0), axis=1)
     return jnp.asarray(block.out_idx), out
 
 
@@ -114,32 +106,43 @@ def _eval_level(vals: jnp.ndarray, level: LevelBlock) -> jnp.ndarray:
                              (level.count, _eval_count)):
         if block is not None and block.n_gates:
             idx, out = evaluator(vals, block)
-            vals = vals.at[..., idx].set(out)
+            vals = vals.at[idx].set(out)
     return vals
+
+
+def propagate_node_major(tree: CompiledTree, basic_nm: jnp.ndarray,
+                         house_nm: jnp.ndarray) -> jnp.ndarray:
+    """Core pass. ``basic_nm``: (n_basic, B); returns (n_nodes, B)."""
+    B = basic_nm.shape[-1]
+    parts = [basic_nm]
+    if tree.n_house:
+        parts.append(jnp.broadcast_to(house_nm, (tree.n_house, B))
+                     .astype(basic_nm.dtype))
+    parts.append(jnp.zeros((tree.n_gates, B), dtype=basic_nm.dtype))
+    vals = jnp.concatenate(parts, axis=0)
+    for level in tree.levels:
+        vals = _eval_level(vals, level)
+    return vals
+
+
+def _to_node_major(tree: CompiledTree, basic_p, house_states):
+    batch_shape = jnp.shape(basic_p)[:-1]
+    B = math.prod(batch_shape) if batch_shape else 1
+    basic_nm = jnp.reshape(basic_p, (B, tree.n_basic)).T
+    house_nm = jnp.reshape(
+        jnp.broadcast_to(house_states, batch_shape + (tree.n_house,)),
+        (B, tree.n_house)).T if tree.n_house else \
+        jnp.zeros((0, B), dtype=basic_nm.dtype)
+    return basic_nm, house_nm, batch_shape
 
 
 def propagate_probability(tree: CompiledTree, basic_p: jnp.ndarray,
                           house_states: jnp.ndarray) -> jnp.ndarray:
-    """Propagate probabilities; returns the full value vector.
-
-    ``basic_p``: (..., n_basic) probabilities; leading axes batch (trials).
-    ``house_states``: (..., n_house) 0/1 floats.
-    Returns (..., n_nodes) with every gate's probability filled in.
-    """
-    batch_shape = jnp.broadcast_shapes(basic_p.shape[:-1],
-                                       house_states.shape[:-1]
-                                       if tree.n_house else ())
-    basic_p = jnp.broadcast_to(basic_p, batch_shape + (tree.n_basic,))
-    parts = [basic_p]
-    if tree.n_house:
-        parts.append(jnp.broadcast_to(
-            house_states, batch_shape + (tree.n_house,)))
-    parts.append(jnp.zeros(batch_shape + (tree.n_gates,),
-                           dtype=basic_p.dtype))
-    vals = jnp.concatenate(parts, axis=-1)
-    for level in tree.levels:
-        vals = _eval_level(vals, level)
-    return vals
+    """Batch-leading API: (..., n_basic) -> (..., n_nodes)."""
+    basic_nm, house_nm, batch_shape = _to_node_major(tree, basic_p,
+                                                     house_states)
+    vals = propagate_node_major(tree, basic_nm, house_nm)
+    return jnp.reshape(vals.T, batch_shape + (tree.n_nodes,))
 
 
 def top_event_probability(tree: CompiledTree, basic_p: jnp.ndarray,
@@ -147,17 +150,18 @@ def top_event_probability(tree: CompiledTree, basic_p: jnp.ndarray,
     """The top event's probability (requires ``tree.top_index``)."""
     if house_states is None:
         house_states = jnp.asarray(tree.house_state_vector())
-    vals = propagate_probability(tree, basic_p, house_states)
-    return vals[..., tree.top_index]
+    basic_nm, house_nm, batch_shape = _to_node_major(tree, basic_p,
+                                                     house_states)
+    vals = propagate_node_major(tree, basic_nm, house_nm)
+    return jnp.reshape(vals[tree.top_index], batch_shape)
 
 
 def make_propagator(tree: CompiledTree, output: str = "top"):
     """A jitted closure ``f(basic_p, house_states) -> prob``.
 
     ``output``: "top" for the top-event scalar, "all" for the full value
-    vector. The compiled block arrays are embedded as constants, so one
-    compilation serves any number of probability vectors (time steps,
-    uncertainty trials via ``vmap``, importance via ``grad``).
+    vector. One compilation serves any number of probability vectors
+    (time steps, uncertainty trials, importance grads).
     """
     if output == "top":
         fn = functools.partial(top_event_probability, tree)
