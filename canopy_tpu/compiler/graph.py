@@ -247,9 +247,20 @@ def _compile(roots: list[Gate], ccf: bool) -> CompiledTree:
     by_level: list[list[Gate]] = [[] for _ in range(n_levels)]
     for gate in gate_order:
         by_level[level_of[id(gate)] - 1].append(gate)
+
+    def family_rank(gate: Gate) -> int:
+        c = gate.formula.connective
+        if c in _PROD_FAMILY:
+            return 0
+        if c in _PAIR_FAMILY:
+            return 1
+        return 2
+
     for level_gates in by_level:
-        # Deterministic order within a level.
-        level_gates.sort(key=lambda g: g.id)
+        # Deterministic order; family-grouped so each block's output
+        # slots form one contiguous range (the engine then writes levels
+        # with dynamic-update-slice instead of scatter).
+        level_gates.sort(key=lambda g: (family_rank(g), g.id))
         for gate in level_gates:
             gate_slot[id(gate)] = next_slot
             slot_ordered_gates.append(gate)

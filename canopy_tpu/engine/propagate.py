@@ -100,13 +100,24 @@ def _eval_count(vals: jnp.ndarray, block: CountBlock):
     return jnp.asarray(block.out_idx), out
 
 
+def _write_rows(vals: jnp.ndarray, idx, out: jnp.ndarray) -> jnp.ndarray:
+    """Row-block write; contiguous slots (the compiler's family-grouped
+    layout) use dynamic-update-slice, which XLA aliases in place instead
+    of copying the whole value matrix per level."""
+    idx_np = np.asarray(idx)
+    if len(idx_np) and (np.diff(idx_np) == 1).all():
+        return jax.lax.dynamic_update_slice(vals, out.astype(vals.dtype),
+                                            (int(idx_np[0]), 0))
+    return vals.at[jnp.asarray(idx_np)].set(out)
+
+
 def _eval_level(vals: jnp.ndarray, level: LevelBlock) -> jnp.ndarray:
     for block, evaluator in ((level.prod, _eval_prod),
                              (level.pair, _eval_pair),
                              (level.count, _eval_count)):
         if block is not None and block.n_gates:
             idx, out = evaluator(vals, block)
-            vals = vals.at[idx].set(out)
+            vals = _write_rows(vals, block.out_idx, out)
     return vals
 
 

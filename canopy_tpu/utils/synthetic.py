@@ -25,40 +25,48 @@ __all__ = ["synthetic_mef_tree", "synthetic_compiled_tree"]
 
 def synthetic_mef_tree(n_basic: int = 60, n_gates: int = 40, fanin: int = 3,
                        seed: int = 0, p_range=(1e-4, 1e-2),
-                       atleast_fraction: float = 0.1):
-    """(top gate, basic events) as real MEF objects."""
+                       atleast_fraction: float = 0.1,
+                       complement_fraction: float = 0.05):
+    """(top gate, basic events) as real MEF objects.
+
+    Layered PRA shape: alternating OR/AND layers over the previous layer
+    (with event sharing), occasional vote gates, complements only under
+    AND gates (a complement under a wide OR would trivialize the tree to
+    probability ~1), one OR top over all unconsumed roots.
+    """
     rng = np.random.default_rng(seed)
     events = []
     for i in range(n_basic):
+        log_p = rng.uniform(np.log(p_range[0]), np.log(p_range[1]))
         e = BasicEvent(f"be{i}")
-        e.expression = ConstantExpression(
-            float(rng.uniform(np.log(p_range[0]), np.log(p_range[1]))))
-        e.expression._value = float(np.exp(e.expression._value))
+        e.expression = ConstantExpression(float(np.exp(log_p)))
         events.append(e)
+
     pool: list = list(events)
     gates = []
     for gi in range(n_gates - 1):
-        k = int(rng.integers(2, fanin + 2))
-        k = min(k, len(pool))
+        k = int(min(rng.integers(2, fanin + 2), len(pool)))
         chosen = rng.choice(len(pool), size=k, replace=False)
         u = rng.random()
         gate = Gate(f"sg{gi}")
-        args = [Arg(pool[int(c)], bool(rng.random() < 0.05)) for c in chosen]
-        if u < atleast_fraction and k >= 3:
+        is_and = u < 0.55
+        args = [Arg(pool[int(c)],
+                    bool(is_and and rng.random() < complement_fraction))
+                for c in chosen]
+        if rng.random() < atleast_fraction and k >= 3:
             gate.formula = Formula(Connective.ATLEAST, args, min_number=2)
-        elif u < 0.5 + atleast_fraction / 2:
-            gate.formula = Formula(Connective.AND, args) if k >= 2 else \
-                Formula(Connective.NULL, args)
+        elif is_and:
+            gate.formula = Formula(Connective.AND, args)
         else:
-            gate.formula = Formula(Connective.OR, args) if k >= 2 else \
-                Formula(Connective.NULL, args)
+            gate.formula = Formula(Connective.OR, args)
         gates.append(gate)
         pool.append(gate)
+
     top = Gate("synthetic-top")
     roots = [g for g in gates if not g.usage] or gates[-2:]
     if len(roots) == 1:
         roots = roots + [gates[0] if gates[0] is not roots[0] else events[0]]
-    top.formula = Formula(Connective.OR, [Arg(r) for r in roots[:8]])
+    top.formula = Formula(Connective.OR, [Arg(r) for r in roots])
     return top, events
 
 

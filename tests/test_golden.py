@@ -1,0 +1,77 @@
+"""Golden-model regression tests (SURVEY.md §4.2): full-stack XML ->
+model -> compile -> quantify against frozen reference values."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from canopy_tpu.compiler.bdd import build_bdd
+from canopy_tpu.compiler.cutsets import CutSetGenerator
+from canopy_tpu.compiler.graph import compile_fault_tree
+from canopy_tpu.engine.bdd_eval import bdd_probability
+from canopy_tpu.engine.cutset_quantify import (build_cutset_matrix, mcub,
+                                               product_probabilities,
+                                               rare_event)
+from canopy_tpu.engine.propagate import mean_basic_probabilities
+from canopy_tpu.mef import Initializer
+from canopy_tpu.ops.bitpack import packed_top_probability
+from canopy_tpu.settings import Settings
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+with open(os.path.join(FIXTURES, "golden.json")) as fh:
+    GOLDEN = json.load(fh)
+
+
+@pytest.fixture(scope="module", params=sorted(GOLDEN))
+def case(request):
+    name = request.param
+    path = os.path.join(FIXTURES, f"{name}.xml")
+    settings = Settings().probability_analysis(True)
+    model = Initializer([path], settings).model
+    tree = compile_fault_tree(model.fault_trees.get(name))
+    return name, GOLDEN[name], tree
+
+
+class TestGolden:
+    def test_structure(self, case):
+        name, golden, tree = case
+        assert tree.n_basic == golden["n_basic"]
+        assert tree.n_gates == golden["n_gates"]
+        assert tree.nnz == golden["nnz"]
+
+    def test_bdd_exact(self, case):
+        name, golden, tree = case
+        bdd = build_bdd(tree)
+        assert bdd.n_nodes == golden["bdd_nodes"]
+        p = jnp.asarray(mean_basic_probabilities(tree))
+        got = float(bdd_probability(bdd, p))
+        assert abs(got - golden["exact_probability"]) < 1e-10
+
+    def test_cutset_bounds(self, case):
+        name, golden, tree = case
+        exact = golden["exact_probability"]
+        top = next(g for g in tree.gates
+                   if tree.gate_index[g.id] == tree.top_index)
+        generator = CutSetGenerator(tree, limit_order=8)
+        products = generator.generate(top)
+        matrix = build_cutset_matrix(products, tree.n_basic)
+        p = jnp.asarray(mean_basic_probabilities(tree))
+        q = product_probabilities(matrix, p)
+        mcub_val = float(mcub(q))
+        re_val = float(rare_event(q))
+        # For these (nearly) coherent models the bounds bracket tightly.
+        assert re_val >= exact * 0.98
+        assert abs(mcub_val - exact) / exact < 0.05
+
+    def test_monte_carlo_agrees(self, case):
+        name, golden, tree = case
+        p = jnp.asarray(mean_basic_probabilities(tree))
+        estimate = float(packed_top_probability(
+            tree, jax.random.PRNGKey(11), p, 32 * 8192))
+        exact = golden["exact_probability"]
+        stderr = (exact * (1 - exact) / (32 * 8192)) ** 0.5
+        assert abs(estimate - exact) < 6 * stderr + 1e-4
