@@ -50,8 +50,8 @@ def main() -> None:
     from canopy_tpu.engine.propagate import top_event_probability
     from canopy_tpu.utils.synthetic import synthetic_compiled_tree
 
-    n_trials = int(os.environ.get("BENCH_TRIALS", "256"))
-    n_gates = int(os.environ.get("BENCH_GATES", "200000"))
+    n_trials = int(os.environ.get("BENCH_TRIALS", "2048"))
+    n_gates = int(os.environ.get("BENCH_GATES", "400000"))
     fanin = int(os.environ.get("BENCH_FANIN", "4"))
     dtype = jnp.float32
 

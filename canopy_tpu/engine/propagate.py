@@ -48,14 +48,23 @@ __all__ = ["propagate_probability", "top_event_probability",
 
 
 def _eval_prod(vals: jnp.ndarray, block: ProdBlock):
-    """vals: (n_nodes, B). Returns (out_idx, out (G, B))."""
-    v = vals[block.arg_idx]                            # (G, F, B) row gather
-    flip = jnp.asarray(block.arg_flip)[..., None]
-    mask = jnp.asarray(block.arg_mask)[..., None]
-    x = jnp.where(flip, 1.0 - v, v)
-    x = jnp.where(mask, x, 1.0)                        # Neutral pad.
-    p = jnp.prod(x, axis=1)
-    out = jnp.where(jnp.asarray(block.inv_out)[:, None], 1.0 - p, p)
+    """vals: (n_nodes, B). Returns (out_idx, out (G, B)).
+
+    One fan-in column at a time: each step is a (G, B) row gather fused
+    into a multiply — never materializing the (G, F, B) tensor, which
+    costs ~3x extra HBM traffic on benchmark-scale trees.
+    """
+    F = block.arg_idx.shape[1]
+    acc = None
+    for f in range(F):
+        v = vals[jnp.asarray(block.arg_idx[:, f])]     # (G, B) row gather
+        flip = jnp.asarray(block.arg_flip[:, f])[:, None]
+        x = jnp.where(flip, 1.0 - v, v)
+        if not block.arg_mask[:, f].all():
+            mask = jnp.asarray(block.arg_mask[:, f])[:, None]
+            x = jnp.where(mask, x, 1.0)                # Neutral pad.
+        acc = x if acc is None else acc * x
+    out = jnp.where(jnp.asarray(block.inv_out)[:, None], 1.0 - acc, acc)
     return jnp.asarray(block.out_idx), out
 
 
