@@ -33,8 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="write the report to this file "
                              "(.xml or .json by extension; default stdout "
                              "JSON)")
-    parser.add_argument("--validate", metavar="SCHEMA",
-                        help="RELAX NG schema to validate inputs against")
+    parser.add_argument("--validate", metavar="SCHEMA", nargs="?",
+                        const="__default__", default=None,
+                        help="validate inputs against a RELAX NG schema "
+                             "(default: the bundled MEF grammar)")
     parser.add_argument("--allow-extern", action="store_true",
                         help="allow define-extern-library (dlopen!)")
 
@@ -127,10 +129,14 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     try:
         settings = settings_from_args(args)
+        schema = args.validate
+        if schema == "__default__":
+            from .schemas import default_schema_path
+            schema = default_schema_path()
         from .mef.initializer import Initializer
         init = Initializer(args.input_files, settings,
                            allow_extern=args.allow_extern,
-                           schema_path=args.validate)
+                           schema_path=schema)
         from .engine.analysis import RiskAnalysis
         report = RiskAnalysis(init.model, settings).run()
     except Error as err:
