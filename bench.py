@@ -110,6 +110,46 @@ def main() -> None:
     print(f"bench: {elapsed*1e3:.2f} ms/iter, {value/1e9:.2f} Gnnz*trials/s, "
           f"roofline {roofline/1e9:.2f} G/s, fraction {vs_baseline:.3f}",
           file=sys.stderr)
+
+    # Secondary: the bit-packed Boolean MC engine (32 trials per uint32
+    # word) on the same structure — the aleatory-simulation headline.
+    try:
+        from canopy_tpu.ops.bitpack import propagate_packed
+
+        mc_words = max(n_trials // 32, 8)
+
+        @partial(jax.jit, static_argnums=1)
+        def repeat_packed(packed_basic, n_iter):
+            def body(i, acc):
+                p = packed_basic ^ i.astype(jnp.uint32)
+                vals = propagate_packed(tree, p, house)
+                return acc + jax.lax.population_count(
+                    vals[tree.top_index]).sum()
+            return jax.lax.fori_loop(0, n_iter, body,
+                                     jnp.asarray(0, jnp.int32))
+
+        packed = jnp.asarray(
+            rng.integers(0, 2**32, (tree.n_basic, mc_words),
+                         dtype=np.uint32))
+
+        def timed_packed(n_iter):
+            int(repeat_packed(packed, n_iter))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                int(repeat_packed(packed, n_iter))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        mc_elapsed = max(
+            (timed_packed(2 + iters) - timed_packed(2)) / iters, 1e-9)
+        mc_value = nnz * mc_words * 32 / mc_elapsed
+        print(f"bench[mc-bitpacked]: {mc_elapsed*1e3:.2f} ms/iter, "
+              f"{mc_value/1e9:.2f} Gnnz*trials/s "
+              f"({mc_value/max(value,1):.1f}x the float path)",
+              file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - secondary metric only
+        print(f"bench[mc-bitpacked] skipped: {exc}", file=sys.stderr)
     print(json.dumps({
         "metric": "spmm_gate_propagation_nnz_trials_per_s",
         "value": value,

@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, metavar="S")
     parser.add_argument("--mission-time", type=float, metavar="T")
     parser.add_argument("--time-step", type=float, metavar="T")
+    parser.add_argument("--profile", metavar="LOG_DIR", default=None,
+                        help="write a jax.profiler trace (TensorBoard) of "
+                             "the analysis to this directory")
     parser.add_argument("--verbosity", type=int, default=0)
     return parser
 
@@ -138,7 +141,9 @@ def main(argv: list[str] | None = None) -> int:
                            allow_extern=args.allow_extern,
                            schema_path=schema)
         from .engine.analysis import RiskAnalysis
-        report = RiskAnalysis(init.model, settings).run()
+        from .utils.profiling import trace
+        with trace(args.profile):
+            report = RiskAnalysis(init.model, settings).run()
     except Error as err:
         print(f"error: {err}", file=sys.stderr)
         return 1

@@ -209,6 +209,14 @@ class RiskAnalysis:
                 if settings.approximation() != Approximation.NONE else 0.0,
                 probabilities=np.asarray(mean_p))
             products = generator.generate(top)
+            if not settings.prime_implicants():
+                # Minimal-cut-set mode: complemented literals are dropped
+                # (conservative coherent approximation — SCRAM's MOCUS
+                # behavior); prime-implicant mode keeps full literal
+                # products (BDD-algorithm-only, per settings.h:77-90).
+                products = CutSetGenerator._minimize(
+                    frozenset(lit for lit in p if not lit[1])
+                    for p in products)
             products = self._apply_substitutions(tree, products)
             result.products_truncated = generator.truncated
             result.n_products = len(products)

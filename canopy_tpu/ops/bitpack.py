@@ -146,7 +146,12 @@ def propagate_packed(tree: CompiledTree, packed_basic: jnp.ndarray,
                                  (level.count, _count_packed)):
             if block is not None and block.n_gates:
                 idx, out = evaluator(vals, block)
-                vals = vals.at[idx].set(out)
+                idx_np = np.asarray(block.out_idx)
+                if len(idx_np) and (np.diff(idx_np) == 1).all():
+                    vals = jax.lax.dynamic_update_slice(
+                        vals, out, (int(idx_np[0]), 0))
+                else:
+                    vals = vals.at[idx].set(out)
     return vals
 
 
