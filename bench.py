@@ -123,21 +123,21 @@ def main() -> None:
             def body(i, acc):
                 p = packed_basic ^ i.astype(jnp.uint32)
                 vals = propagate_packed(tree, p, house)
-                return acc + jax.lax.population_count(
-                    vals[tree.top_index]).sum()
+                count = jax.lax.population_count(vals[tree.top_index])
+                return acc + count.sum().astype(jnp.float32)
             return jax.lax.fori_loop(0, n_iter, body,
-                                     jnp.asarray(0, jnp.int32))
+                                     jnp.asarray(0.0, jnp.float32))
 
         packed = jnp.asarray(
             rng.integers(0, 2**32, (tree.n_basic, mc_words),
                          dtype=np.uint32))
 
         def timed_packed(n_iter):
-            int(repeat_packed(packed, n_iter))
+            float(repeat_packed(packed, n_iter))
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                int(repeat_packed(packed, n_iter))
+                float(repeat_packed(packed, n_iter))
                 best = min(best, time.perf_counter() - t0)
             return best
 

@@ -237,11 +237,15 @@ class RiskAnalysis:
                 value = rare_event(q) if approx == Approximation.RARE_EVENT \
                     else mcub(q)
                 result.probability = float(value)
-            else:  # Monte Carlo state simulation.
+            else:  # Monte Carlo state simulation (bit-packed engine).
+                from .sampler import monte_carlo_ci
+                from ..ops.bitpack import packed_top_probability
+
                 n = settings.num_trials() * settings.sample_size()
+                n = -(-n // 32) * 32  # Round up to whole uint32 words.
                 key = jax.random.PRNGKey(settings.seed())
-                estimate, _ = sample_top_probability(tree, key, mean_p, n,
-                                                     house)
+                estimate = packed_top_probability(tree, key, mean_p, n,
+                                                  house)
                 result.probability = float(estimate)
                 result.mc_std_error = float(monte_carlo_ci(estimate, n))
             self._timings[f"probability:{top.id}"] = time.perf_counter() - t0
