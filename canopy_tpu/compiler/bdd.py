@@ -278,9 +278,7 @@ def build_bdd(tree: CompiledTree, max_nodes: int = 2_000_000,
             order[slot] = len(order)
 
     for level in tree.levels:
-        for block in (level.prod, level.pair, level.count):
-            if block is None:
-                continue
+        for _kind, block in level.iter_blocks():
             for row in np.asarray(block.arg_idx).reshape(-1):
                 touch(int(row))
     for slot in range(tree.n_basic):

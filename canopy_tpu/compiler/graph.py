@@ -114,13 +114,25 @@ class CountBlock:
 
 @dataclasses.dataclass
 class LevelBlock:
-    prod: ProdBlock | None
-    pair: PairBlock | None
-    count: CountBlock | None
+    """One dependency level: product-family blocks bucketed by fan-in
+    (power-of-two buckets, so ragged levels pad at most 2x within each
+    bucket instead of to the level's max fan-in), plus pair/count."""
+
+    prods: list[ProdBlock]
+    pairs: list[PairBlock]
+    counts: list[CountBlock]
+
+    def iter_blocks(self):
+        for b in self.prods:
+            yield ("prod", b)
+        for b in self.pairs:
+            yield ("pair", b)
+        for b in self.counts:
+            yield ("count", b)
 
     @property
     def nnz(self) -> int:
-        return sum(b.nnz for b in (self.prod, self.pair, self.count) if b)
+        return sum(b.nnz for _, b in self.iter_blocks())
 
 
 @dataclasses.dataclass
@@ -248,19 +260,25 @@ def _compile(roots: list[Gate], ccf: bool) -> CompiledTree:
     for gate in gate_order:
         by_level[level_of[id(gate)] - 1].append(gate)
 
-    def family_rank(gate: Gate) -> int:
+    def _bucket(n_args: int) -> int:
+        bucket = 1
+        while bucket < n_args:
+            bucket *= 2
+        return bucket
+
+    def family_rank(gate: Gate) -> tuple[int, int]:
         c = gate.formula.connective
         if c in _PROD_FAMILY:
-            return 0
+            return (0, _bucket(len(gate.formula.args)))
         if c in _PAIR_FAMILY:
-            return 1
-        return 2
+            return (1, 2)
+        return (2, _bucket(len(gate.formula.args)))
 
     for level_gates in by_level:
         # Deterministic order; family-grouped so each block's output
         # slots form one contiguous range (the engine then writes levels
         # with dynamic-update-slice instead of scatter).
-        level_gates.sort(key=lambda g: (family_rank(g), g.id))
+        level_gates.sort(key=lambda g: (*family_rank(g), g.id))
         for gate in level_gates:
             gate_slot[id(gate)] = next_slot
             slot_ordered_gates.append(gate)
@@ -273,22 +291,26 @@ def _compile(roots: list[Gate], ccf: bool) -> CompiledTree:
 
     levels: list[LevelBlock] = []
     for level_gates in by_level:
-        prod_rows, pair_rows, count_rows = [], [], []
+        prod_buckets: dict[int, list] = {}
+        pair_rows, count_rows = [], []
         for gate in level_gates:
             formula = gate.formula
             c = formula.connective
             row = (gate, formula)
             if c in _PROD_FAMILY:
-                prod_rows.append(row)
+                prod_buckets.setdefault(
+                    _bucket(len(formula.args)), []).append(row)
             elif c in _PAIR_FAMILY:
                 pair_rows.append(row)
             else:
                 count_rows.append(row)
         levels.append(LevelBlock(
-            prod=_build_prod(prod_rows, gate_slot, slot) if prod_rows else None,
-            pair=_build_pair(pair_rows, gate_slot, slot) if pair_rows else None,
-            count=_build_count(count_rows, gate_slot, slot)
-            if count_rows else None))
+            prods=[_build_prod(rows, gate_slot, slot)
+                   for _, rows in sorted(prod_buckets.items())],
+            pairs=[_build_pair(pair_rows, gate_slot, slot)]
+            if pair_rows else [],
+            counts=[_build_count(count_rows, gate_slot, slot)]
+            if count_rows else []))
 
     return CompiledTree(
         n_basic=n_basic, n_house=n_house, n_gates=len(slot_ordered_gates),

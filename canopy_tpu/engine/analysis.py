@@ -133,6 +133,22 @@ class RiskAnalysis:
         results: list[FaultTreeResult] = []
         sequences: list[SequenceResult] = []
 
+        if self.settings.preprocessor:
+            # Stop after model setup (settings.h:310): report structure
+            # only, no quantification.
+            for fault_tree in self.model.fault_trees:
+                if not fault_tree.top_events:
+                    fault_tree.collect_top_events()
+                for top in fault_tree.top_events:
+                    results.append(FaultTreeResult(
+                        fault_tree=fault_tree.name, top_event=top.id,
+                        method="preprocessor-only"))
+            self._timings["total"] = time.perf_counter() - t0
+            return Report(model=self.model.name,
+                          settings=self.settings.to_dict(),
+                          fault_trees=results, sequences=[],
+                          timings=dict(self._timings))
+
         for fault_tree in self.model.fault_trees:
             if not fault_tree.top_events:
                 fault_tree.collect_top_events()
@@ -291,6 +307,10 @@ class RiskAnalysis:
 
         if settings.safety_integrity_levels():
             result.sil, result.time_curve = self._sil_analysis(
+                tree, tape, house, mission, top_fn=top_fn)
+        elif settings.time_step() > 0 and settings.probability_analysis():
+            # Time-stepped probability curve without the SIL metrics.
+            _, result.time_curve = self._sil_analysis(
                 tree, tape, house, mission, top_fn=top_fn)
 
         out = [result]

@@ -120,12 +120,14 @@ def _write_rows(vals: jnp.ndarray, idx, out: jnp.ndarray) -> jnp.ndarray:
     return vals.at[jnp.asarray(idx_np)].set(out)
 
 
+_EVALUATORS = {"prod": _eval_prod, "pair": _eval_pair,
+               "count": _eval_count}
+
+
 def _eval_level(vals: jnp.ndarray, level: LevelBlock) -> jnp.ndarray:
-    for block, evaluator in ((level.prod, _eval_prod),
-                             (level.pair, _eval_pair),
-                             (level.count, _eval_count)):
-        if block is not None and block.n_gates:
-            idx, out = evaluator(vals, block)
+    for kind, block in level.iter_blocks():
+        if block.n_gates:
+            idx, out = _EVALUATORS[kind](vals, block)
             vals = _write_rows(vals, block.out_idx, out)
     return vals
 

@@ -140,12 +140,12 @@ def propagate_packed(tree: CompiledTree, packed_basic: jnp.ndarray,
                                       (tree.n_house, n_words)))
     parts.append(jnp.zeros((tree.n_gates, n_words), dtype=jnp.uint32))
     vals = jnp.concatenate(parts, axis=0)
+    evaluators = {"prod": _prod_packed, "pair": _pair_packed,
+                  "count": _count_packed}
     for level in tree.levels:
-        for block, evaluator in ((level.prod, _prod_packed),
-                                 (level.pair, _pair_packed),
-                                 (level.count, _count_packed)):
-            if block is not None and block.n_gates:
-                idx, out = evaluator(vals, block)
+        for kind, block in level.iter_blocks():
+            if block.n_gates:
+                idx, out = evaluators[kind](vals, block)
                 idx_np = np.asarray(block.out_idx)
                 if len(idx_np) and (np.diff(idx_np) == 1).all():
                     vals = jax.lax.dynamic_update_slice(

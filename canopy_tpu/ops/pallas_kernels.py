@@ -110,29 +110,27 @@ def _emit_gate_ops(tree: CompiledTree):
     """
     ops = []
     for level in tree.levels:
-        if level.prod is not None:
-            b = level.prod
-            for g in range(b.n_gates):
-                args = [(int(b.arg_idx[g, f]), bool(b.arg_flip[g, f]))
-                        for f in range(b.arg_idx.shape[1])
-                        if b.arg_mask[g, f]]
-                ops.append(("prod", int(b.out_idx[g]), args,
-                            bool(b.inv_out[g])))
-        if level.pair is not None:
-            b = level.pair
-            for g in range(b.n_gates):
-                args = [(int(b.arg_idx[g, f]), bool(b.arg_neg[g, f]))
-                        for f in range(2)]
-                ops.append(("pair", int(b.out_idx[g]), args,
-                            bool(b.is_iff[g])))
-        if level.count is not None:
-            b = level.count
-            for g in range(b.n_gates):
-                args = [(int(b.arg_idx[g, f]), bool(b.arg_neg[g, f]))
-                        for f in range(b.arg_idx.shape[1])
-                        if b.arg_mask[g, f]]
-                ops.append(("count", int(b.out_idx[g]), args,
-                            (int(b.min_num[g]), int(b.max_num[g]))))
+        for kind, b in level.iter_blocks():
+            if kind == "prod":
+                for g in range(b.n_gates):
+                    args = [(int(b.arg_idx[g, f]), bool(b.arg_flip[g, f]))
+                            for f in range(b.arg_idx.shape[1])
+                            if b.arg_mask[g, f]]
+                    ops.append(("prod", int(b.out_idx[g]), args,
+                                bool(b.inv_out[g])))
+            elif kind == "pair":
+                for g in range(b.n_gates):
+                    args = [(int(b.arg_idx[g, f]), bool(b.arg_neg[g, f]))
+                            for f in range(2)]
+                    ops.append(("pair", int(b.out_idx[g]), args,
+                                bool(b.is_iff[g])))
+            else:
+                for g in range(b.n_gates):
+                    args = [(int(b.arg_idx[g, f]), bool(b.arg_neg[g, f]))
+                            for f in range(b.arg_idx.shape[1])
+                            if b.arg_mask[g, f]]
+                    ops.append(("count", int(b.out_idx[g]), args,
+                                (int(b.min_num[g]), int(b.max_num[g]))))
     return ops
 
 

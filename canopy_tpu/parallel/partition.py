@@ -63,31 +63,31 @@ class _PaddedLevel:
 def _plan_levels(tree: CompiledTree, n_model: int) -> list[_PaddedLevel]:
     plan: list[_PaddedLevel] = []
     for level in tree.levels:
-        if level.prod is not None and level.prod.n_gates:
-            b = level.prod
-            plan.append(_PaddedLevel(
-                "prod", int(b.out_idx[0]), b.n_gates,
-                (_pad_rows(b.arg_idx, n_model),
-                 _pad_rows(b.arg_flip, n_model),
-                 _pad_rows(b.arg_mask, n_model),
-                 _pad_rows(b.inv_out[:, None], n_model))))
-        if level.pair is not None and level.pair.n_gates:
-            b = level.pair
-            plan.append(_PaddedLevel(
-                "pair", int(b.out_idx[0]), b.n_gates,
-                (_pad_rows(b.arg_idx, n_model),
-                 _pad_rows(b.arg_neg, n_model),
-                 _pad_rows(b.is_iff[:, None], n_model))))
-        if level.count is not None and level.count.n_gates:
-            b = level.count
-            plan.append(_PaddedLevel(
-                "count", int(b.out_idx[0]), b.n_gates,
-                (_pad_rows(b.arg_idx, n_model),
-                 _pad_rows(b.arg_neg, n_model),
-                 _pad_rows(b.arg_mask, n_model),
-                 _pad_rows(b.min_num[:, None], n_model),
-                 _pad_rows(b.max_num[:, None], n_model)),
-                aux=(b.cap,)))
+        for kind, b in level.iter_blocks():
+            if not b.n_gates:
+                continue
+            if kind == "prod":
+                plan.append(_PaddedLevel(
+                    "prod", int(b.out_idx[0]), b.n_gates,
+                    (_pad_rows(b.arg_idx, n_model),
+                     _pad_rows(b.arg_flip, n_model),
+                     _pad_rows(b.arg_mask, n_model),
+                     _pad_rows(b.inv_out[:, None], n_model))))
+            elif kind == "pair":
+                plan.append(_PaddedLevel(
+                    "pair", int(b.out_idx[0]), b.n_gates,
+                    (_pad_rows(b.arg_idx, n_model),
+                     _pad_rows(b.arg_neg, n_model),
+                     _pad_rows(b.is_iff[:, None], n_model))))
+            else:
+                plan.append(_PaddedLevel(
+                    "count", int(b.out_idx[0]), b.n_gates,
+                    (_pad_rows(b.arg_idx, n_model),
+                     _pad_rows(b.arg_neg, n_model),
+                     _pad_rows(b.arg_mask, n_model),
+                     _pad_rows(b.min_num[:, None], n_model),
+                     _pad_rows(b.max_num[:, None], n_model)),
+                    aux=(b.cap,)))
     return plan
 
 

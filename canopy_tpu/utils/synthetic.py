@@ -109,8 +109,9 @@ def synthetic_compiled_tree(n_basic: int = 4096, n_gates: int = 100_000,
         inv_out = is_or.copy()
         arg_mask = np.ones((level_size, fanin), dtype=bool)
         levels.append(LevelBlock(
-            prod=ProdBlock(out_idx, arg_idx, arg_flip, arg_mask, inv_out),
-            pair=None, count=None))
+            prods=[ProdBlock(out_idx, arg_idx, arg_flip, arg_mask,
+                             inv_out)],
+            pairs=[], counts=[]))
         prev_level_start = next_slot
         prev_level_size = level_size
         next_slot += level_size
