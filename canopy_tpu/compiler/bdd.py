@@ -251,6 +251,12 @@ class CompiledBdd:
     levels: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]
     # (out_ptr per level included as 4th array)
     root_ptr: int
+    # Raw forest node arrays (terminals at 0/1) for qualitative passes
+    # (ZBDD minimal cut sets); None for trivially-constant roots.
+    raw_var: np.ndarray | None = None
+    raw_low: np.ndarray | None = None
+    raw_high: np.ndarray | None = None
+    slot_of_var: dict[int, int] | None = None
 
     @property
     def depth(self) -> int:
@@ -380,11 +386,12 @@ def _formula_bdd(forest: BddForest, formula: Formula, tree: CompiledTree,
 def _schedule(forest, root: int, n_basic: int,
               slot_of_var: dict[int, int]) -> CompiledBdd:
     """Collect reachable nodes and group them into dependency levels."""
+    var_arr, low_arr, high_arr = forest.snapshot()
     if root in (_ZERO, _ONE):
         return CompiledBdd(root=root, complemented=False, n_basic=n_basic,
-                           n_nodes=0, levels=[], root_ptr=root)
-
-    var_arr, low_arr, high_arr = forest.snapshot()
+                           n_nodes=0, levels=[], root_ptr=root,
+                           raw_var=var_arr, raw_low=low_arr,
+                           raw_high=high_arr, slot_of_var=dict(slot_of_var))
 
     # Post-order (children before parents) over the reachable set.
     depth: dict[int, int] = {_ZERO: 0, _ONE: 0}
@@ -435,4 +442,6 @@ def _schedule(forest, root: int, n_basic: int,
 
     return CompiledBdd(root=root, complemented=False, n_basic=n_basic,
                        n_nodes=len(post), levels=levels,
-                       root_ptr=ptr[root])
+                       root_ptr=ptr[root], raw_var=var_arr,
+                       raw_low=low_arr, raw_high=high_arr,
+                       slot_of_var=dict(slot_of_var))

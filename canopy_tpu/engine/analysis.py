@@ -224,7 +224,14 @@ class RiskAnalysis:
                 cut_off=settings.cut_off()
                 if settings.approximation() != Approximation.NONE else 0.0,
                 probabilities=np.asarray(mean_p))
-            products = generator.generate(top)
+            if top_fn is not None and not settings.prime_implicants():
+                # The BDD is already built: derive exact minimal cut
+                # sets from it (the ZBDD minimal-solutions transform).
+                from ..compiler.zbdd import bdd_minimal_cut_sets
+                products = bdd_minimal_cut_sets(
+                    bdd, limit_order=settings.limit_order())
+            else:
+                products = generator.generate(top)
             if not settings.prime_implicants():
                 # Minimal-cut-set mode: complemented literals are dropped
                 # (conservative coherent approximation — SCRAM's MOCUS

@@ -43,10 +43,13 @@ __all__ = ["packed_bernoulli", "fused_propagate"]
 # ---------------------------------------------------------------------------
 
 def _packed_bernoulli_kernel(seed_ref, threshold_ref, out_ref):
-    # Distinct, deterministic stream per grid tile.
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    pltpu.prng_seed(seed_ref[0], i, j)
+    # Distinct, deterministic stream per grid tile (Mosaic accepts at
+    # most two seed values, so the tile coordinates fold into one; kept
+    # in int32 — Mosaic scalars cannot be i64 even under jax x64 mode).
+    tile = jnp.asarray(
+        pl.program_id(0) * pl.num_programs(1) + pl.program_id(1),
+        dtype=jnp.int32)
+    pltpu.prng_seed(seed_ref[0], tile)
     thr = threshold_ref[:]                       # (B_tile, 1) uint32
     acc = jnp.zeros(out_ref.shape, dtype=jnp.uint32)
     for bit in range(32):
@@ -82,7 +85,10 @@ def packed_bernoulli(seed: int, basic_p: jnp.ndarray, n_trials: int,
     # Plain interpret mode has no lowering for the TPU PRNG primitives;
     # pltpu.InterpretParams provides TPU-semantics interpretation.
     interpret_mode = pltpu.InterpretParams() if interpret else False
-    return pl.pallas_call(
+    # Mosaic rejects i64 scalars; the package enables jax x64 globally,
+    # so trace the kernel with x64 off (all kernel dtypes are explicit).
+    with jax.enable_x64(False):
+        return pl.pallas_call(
         _packed_bernoulli_kernel,
         grid=grid,
         in_specs=[
@@ -95,7 +101,7 @@ def packed_bernoulli(seed: int, basic_p: jnp.ndarray, n_trials: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_basic, n_words), jnp.uint32),
         interpret=interpret_mode,
-    )(jnp.asarray([seed], dtype=jnp.int32), thr)
+        )(jnp.asarray([seed], dtype=jnp.int32), thr)
 
 
 # ---------------------------------------------------------------------------
@@ -201,7 +207,8 @@ def fused_propagate(tree: CompiledTree, basic_p: jnp.ndarray,
         out_ref[0, :] = scratch[tree.top_index - n_b - tree.n_house, :]
 
     grid = (pl.cdiv(n_trials, block_trials),)
-    out = pl.pallas_call(
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec((n_basic, block_trials), lambda i: (0, i),
@@ -211,6 +218,6 @@ def fused_propagate(tree: CompiledTree, basic_p: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((1, n_trials), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tree.n_gates, block_trials),
                                    jnp.float32)],
-        interpret=interpret,
-    )(basic_p.astype(jnp.float32).T)
+            interpret=interpret,
+        )(basic_p.astype(jnp.float32).T)
     return out[0]

@@ -1,0 +1,90 @@
+"""BDD-derived minimal cut sets vs the MOCUS generator."""
+
+import numpy as np
+import pytest
+
+from canopy_tpu.compiler.bdd import build_bdd
+from canopy_tpu.compiler.cutsets import CutSetGenerator
+from canopy_tpu.compiler.graph import compile_gates
+from canopy_tpu.compiler.zbdd import bdd_minimal_cut_sets
+from canopy_tpu.mef.event import Arg, BasicEvent, Connective, Formula, Gate
+from canopy_tpu.mef.expr import ConstantExpression
+from canopy_tpu.utils.synthetic import synthetic_mef_tree
+
+
+def make_events(probs):
+    events = []
+    for i, p in enumerate(probs):
+        e = BasicEvent(f"e{i}")
+        e.expression = ConstantExpression(p)
+        events.append(e)
+    return events
+
+
+def compiled(gate):
+    tree = compile_gates([gate])
+    tree.top_index = tree.gate_index[gate.id]
+    return tree
+
+
+class TestBddCutSets:
+    def test_simple_and_or(self):
+        a, b, c = make_events([0.1, 0.2, 0.3])
+        g1 = Gate("g1")
+        g1.formula = Formula(Connective.AND, [Arg(a), Arg(b)])
+        top = Gate("top")
+        top.formula = Formula(Connective.OR, [Arg(g1), Arg(c)])
+        tree = compiled(top)
+        cuts = bdd_minimal_cut_sets(build_bdd(tree))
+        mocus = CutSetGenerator(tree).generate(top)
+        assert set(cuts) == set(mocus)
+
+    def test_shared_events(self):
+        a, b, c = make_events([0.1, 0.2, 0.3])
+        g1 = Gate("g1")
+        g1.formula = Formula(Connective.AND, [Arg(a), Arg(b)])
+        g2 = Gate("g2")
+        g2.formula = Formula(Connective.AND, [Arg(a), Arg(c)])
+        top = Gate("top")
+        top.formula = Formula(Connective.OR, [Arg(g1), Arg(g2)])
+        tree = compiled(top)
+        cuts = bdd_minimal_cut_sets(build_bdd(tree))
+        mocus = CutSetGenerator(tree).generate(top)
+        assert set(cuts) == set(mocus)
+
+    def test_atleast(self):
+        events = make_events([0.1, 0.2, 0.3, 0.4])
+        top = Gate("top")
+        top.formula = Formula(Connective.ATLEAST, [Arg(e) for e in events],
+                              min_number=3)
+        tree = compiled(top)
+        cuts = bdd_minimal_cut_sets(build_bdd(tree))
+        assert len(cuts) == 4
+        assert all(len(c) == 3 for c in cuts)
+
+    @pytest.mark.parametrize("seed", [31, 32, 33])
+    def test_coherent_synthetic_matches_mocus(self, seed):
+        top, events = synthetic_mef_tree(n_basic=25, n_gates=18, fanin=3,
+                                         seed=seed, atleast_fraction=0.2,
+                                         complement_fraction=0.0)
+        tree = compiled(top)
+        cuts = set(bdd_minimal_cut_sets(build_bdd(tree), limit_order=30))
+        mocus = set(CutSetGenerator(tree, limit_order=30).generate(top))
+        assert cuts == mocus
+
+    def test_limit_order_truncation(self):
+        events = make_events([0.5] * 5)
+        top = Gate("top")
+        top.formula = Formula(Connective.AND, [Arg(e) for e in events])
+        tree = compiled(top)
+        assert bdd_minimal_cut_sets(build_bdd(tree), limit_order=3) == []
+
+    def test_constant_roots(self):
+        a, = make_events([0.4])
+        g1 = Gate("g1")
+        g1.formula = Formula(Connective.NULL, [Arg(a)])
+        top = Gate("top")
+        top.formula = Formula(Connective.IMPLY, [Arg(g1), Arg(a)])
+        tree = compiled(top)
+        cuts = bdd_minimal_cut_sets(build_bdd(tree))
+        assert cuts == [frozenset()]  # Tautology: the empty product.
