@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, metavar="S")
     parser.add_argument("--mission-time", type=float, metavar="T")
     parser.add_argument("--time-step", type=float, metavar="T")
+    parser.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                        help="pin the JAX backend (small models are often "
+                             "faster on cpu; overrides environment pins)")
     parser.add_argument("--profile", metavar="LOG_DIR", default=None,
                         help="write a jax.profiler trace (TensorBoard) of "
                              "the analysis to this directory")
@@ -130,6 +133,9 @@ def settings_from_args(args) -> Settings:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     try:
         settings = settings_from_args(args)
         schema = args.validate
