@@ -150,6 +150,58 @@ def main() -> None:
               file=sys.stderr)
     except Exception as exc:  # pragma: no cover - secondary metric only
         print(f"bench[mc-bitpacked] skipped: {exc}", file=sys.stderr)
+
+    # Tertiary: the BSR/MXU log-space engine on a locality-structured
+    # tree (real plant models have subsystem locality) vs the gather
+    # engine on the same tree.
+    try:
+        from canopy_tpu.ops.bsr_propagate import (bsr_cost_report,
+                                                  bsr_top_probability,
+                                                  compile_bsr)
+
+        locality = int(os.environ.get("BENCH_LOCALITY", "512"))
+        tree_l = synthetic_compiled_tree(
+            n_basic=8192, n_gates=n_gates, fanin=fanin, n_levels=14,
+            seed=0, locality=locality)
+        program = compile_bsr(tree_l)
+
+        @partial(jax.jit, static_argnums=1)
+        def repeat_bsr(basic_p, n_iter):
+            def body(i, acc):
+                p = basic_p * (1.0 + 1e-7 * i)
+                return acc + bsr_top_probability(program, p).sum()
+            return jax.lax.fori_loop(0, n_iter, body,
+                                     jnp.asarray(0.0, dtype))
+
+        @partial(jax.jit, static_argnums=1)
+        def repeat_gather_l(basic_p, n_iter):
+            def body(i, acc):
+                p = basic_p * (1.0 + 1e-7 * i)
+                return acc + top_event_probability(tree_l, p, house).sum()
+            return jax.lax.fori_loop(0, n_iter, body,
+                                     jnp.asarray(0.0, dtype))
+
+        def timed_fn(fn, n_iter):
+            float(fn(basic_p, n_iter))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(fn(basic_p, n_iter))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        bsr_dt = max((timed_fn(repeat_bsr, 2 + iters)
+                      - timed_fn(repeat_bsr, 2)) / iters, 1e-9)
+        gat_dt = max((timed_fn(repeat_gather_l, 2 + iters)
+                      - timed_fn(repeat_gather_l, 2)) / iters, 1e-9)
+        bsr_v = tree_l.nnz * n_trials / bsr_dt
+        gat_v = tree_l.nnz * n_trials / gat_dt
+        print(f"bench[bsr locality={locality}]: {bsr_dt*1e3:.2f} ms "
+              f"({bsr_v/1e9:.2f} G/s, fill {program.fill_ratio:.0f}x) vs "
+              f"gather {gat_dt*1e3:.2f} ms ({gat_v/1e9:.2f} G/s) -> "
+              f"{gat_dt/bsr_dt:.2f}x", file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - tertiary metric only
+        print(f"bench[bsr] skipped: {exc}", file=sys.stderr)
     print(json.dumps({
         "metric": "spmm_gate_propagation_nnz_trials_per_s",
         "value": value,

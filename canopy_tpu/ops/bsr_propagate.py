@@ -1,0 +1,188 @@
+"""BSR log-space propagation: gate evaluation on the MXU.
+
+The structural answer to the row-gather wall (see the perf notes in the
+repo memory): instead of gathering one value row per argument edge, each
+level becomes a **block-sparse matrix multiply in log space**:
+
+    x_edge  = flip ? (1 - v_src) : v_src          (edge literal)
+    y_gate  = sum_edges log(x_edge)               (product in log space)
+    value   = inv_out ? 1 - exp(y) : exp(y)
+
+The log-sum is ``S @ L`` where ``S`` is the 0/1 level structure matrix
+over a **doubled column space** — column ``c`` reads ``log(v_c)``,
+column ``N + c`` reads ``log(1 - v_c)`` — so per-edge flips cost nothing.
+``S`` is stored as BSR: 128-gate row blocks x 128-column blocks, each a
+dense f32 tile fed to the MXU. HBM then sees *block* gathers
+(128 rows x trials at a stride) instead of scattered single rows — the
+streaming-friendly pattern — and the multiply itself rides the MXU's
+FLOP surplus (fill-in waste is paid in idle-FLOPs, not bandwidth).
+
+Effectiveness depends on argument locality (how few column blocks each
+row block touches). Real PRA trees have strong subsystem locality; the
+compiler's level ordering preserves it, and graph partitioning to
+*create* it for unstructured models is the designated follow-up. The
+evaluator reports its fill ratio so callers can choose between this and
+the gather engine per model (``bsr_cost_report``).
+
+Numerics: logs are clamped at -1e4 (exp underflows to exactly 0 in f32),
+so hard 0/1 inputs stay exact; otherwise f32 log/exp round-trip error is
+~1e-6 relative — the same class as the f32 product engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..compiler.graph import CompiledTree
+from ..errors import LogicError
+
+__all__ = ["compile_bsr", "bsr_top_probability", "bsr_cost_report"]
+
+_BLOCK = 128
+_LOG_CLAMP = -1e4
+
+
+@dataclasses.dataclass
+class _BsrLevel:
+    out_start: int            # First gate slot of the level (contiguous).
+    n_gates: int
+    n_row_blocks: int
+    # Flattened (row_block, col_block) pairs:
+    pair_rows: np.ndarray     # (P,) row-block index within the level
+    pair_cols: np.ndarray     # (P,) col-block index into the doubled space
+    blocks: np.ndarray        # (P, 128, 128) f32 structure tiles
+    inv_out: np.ndarray       # (n_gates,) bool
+
+
+@dataclasses.dataclass
+class BsrProgram:
+    n_nodes: int
+    n_pad: int                # Node count padded to a block multiple.
+    n_basic: int
+    n_house: int
+    top_index: int
+    levels: list[_BsrLevel]
+    nnz: int
+    fill_blocks: int          # Total 128x128 tiles stored.
+
+    @property
+    def fill_ratio(self) -> float:
+        """Stored tile entries per structural nonzero (the MXU waste)."""
+        return self.fill_blocks * _BLOCK * _BLOCK / max(self.nnz, 1)
+
+
+def compile_bsr(tree: CompiledTree) -> BsrProgram:
+    """Build the per-level BSR structure from a compiled tree.
+
+    Requires prod-family-only levels (the benchmark/production fast path;
+    pair/count gates fall back to the gather engine).
+    """
+    levels: list[_BsrLevel] = []
+    fill_blocks = 0
+    n_pad = -(-tree.n_nodes // _BLOCK) * _BLOCK
+    for level in tree.levels:
+        if level.pairs or level.counts:
+            raise LogicError(
+                "BSR propagation supports product-family levels only.")
+        if not level.prods:
+            continue
+        # Merge the level's buckets into one row-ordered edge list.
+        out_start = min(int(b.out_idx[0]) for b in level.prods)
+        n_gates = sum(b.n_gates for b in level.prods)
+        inv_out = np.zeros(n_gates, dtype=bool)
+        n_row_blocks = -(-n_gates // _BLOCK)
+        pair_map: dict[tuple[int, int], np.ndarray] = {}
+        for block in level.prods:
+            for g in range(block.n_gates):
+                row = int(block.out_idx[g]) - out_start
+                inv_out[row] = bool(block.inv_out[g])
+                rb, r_in = divmod(row, _BLOCK)
+                for f in range(block.arg_idx.shape[1]):
+                    if not block.arg_mask[g, f]:
+                        continue
+                    col = int(block.arg_idx[g, f])
+                    if block.arg_flip[g, f]:
+                        col += n_pad  # 1-v half (block-aligned).
+                    cb, c_in = divmod(col, _BLOCK)
+                    tile = pair_map.get((rb, cb))
+                    if tile is None:
+                        tile = np.zeros((_BLOCK, _BLOCK), dtype=np.float32)
+                        pair_map[(rb, cb)] = tile
+                    tile[r_in, c_in] += 1.0
+        pairs = sorted(pair_map)
+        levels.append(_BsrLevel(
+            out_start=out_start, n_gates=n_gates,
+            n_row_blocks=n_row_blocks,
+            pair_rows=np.array([p[0] for p in pairs], dtype=np.int32),
+            pair_cols=np.array([p[1] for p in pairs], dtype=np.int32),
+            blocks=np.stack([pair_map[p] for p in pairs])
+            if pairs else np.zeros((0, _BLOCK, _BLOCK), np.float32),
+            inv_out=inv_out))
+        fill_blocks += len(pairs)
+    return BsrProgram(n_nodes=tree.n_nodes, n_pad=n_pad,
+                      n_basic=tree.n_basic,
+                      n_house=tree.n_house, top_index=tree.top_index,
+                      levels=levels, nnz=tree.nnz, fill_blocks=fill_blocks)
+
+
+def bsr_top_probability(program: BsrProgram, basic_p: jnp.ndarray,
+                        house_states: jnp.ndarray | None = None
+                        ) -> jnp.ndarray:
+    """(T, n_basic) -> (T,) top probabilities through the BSR engine."""
+    T = basic_p.shape[0]
+    dtype = jnp.float32
+    basic_nm = basic_p.T.astype(dtype)                    # (n_basic, T)
+    parts = [basic_nm]
+    if program.n_house:
+        house = jnp.broadcast_to(
+            jnp.asarray(house_states, dtype)[:, None],
+            (program.n_house, T))
+        parts.append(house)
+    # The state is the doubled log matrix L = [log v | log(1-v)], updated
+    # *incrementally*: only each level's newly produced rows get their
+    # logs recomputed (a full-log pass per level would dominate traffic).
+    n_pad = program.n_pad
+    inputs = jnp.concatenate(
+        parts + [jnp.zeros((n_pad - program.n_basic - program.n_house, T),
+                           dtype=dtype)], axis=0)
+
+    def logs_of(v):
+        lv = jnp.maximum(jnp.log(jnp.maximum(v, 1e-300)), _LOG_CLAMP)
+        l1 = jnp.maximum(jnp.log(jnp.maximum(1.0 - v, 1e-300)), _LOG_CLAMP)
+        return lv, l1
+
+    log_v0, log_1v0 = logs_of(inputs)
+    L = jnp.concatenate([log_v0, log_1v0], axis=0)        # (2*n_pad, T)
+    top_value = None
+
+    for level in program.levels:
+        L_blocks = L.reshape(-1, _BLOCK, T)
+        gathered = L_blocks[jnp.asarray(level.pair_cols)]  # (P, 128, T)
+        partial = jnp.einsum("prc,pct->prt",
+                             jnp.asarray(level.blocks), gathered,
+                             preferred_element_type=dtype)
+        y = jax.ops.segment_sum(partial, jnp.asarray(level.pair_rows),
+                                num_segments=level.n_row_blocks)
+        y = y.reshape(level.n_row_blocks * _BLOCK, T)[:level.n_gates]
+        prod = jnp.exp(y)
+        out = jnp.where(jnp.asarray(level.inv_out)[:, None],
+                        1.0 - prod, prod)
+        lo = level.out_start
+        if lo <= program.top_index < lo + level.n_gates:
+            top_value = out[program.top_index - lo]
+        new_lv, new_l1 = logs_of(out)
+        L = jax.lax.dynamic_update_slice(L, new_lv, (lo, 0))
+        L = jax.lax.dynamic_update_slice(L, new_l1, (n_pad + lo, 0))
+    assert top_value is not None, "top gate not covered by any level"
+    return top_value
+
+
+def bsr_cost_report(program: BsrProgram) -> dict:
+    return {"nnz": program.nnz,
+            "tiles": program.fill_blocks,
+            "fill_ratio": program.fill_ratio,
+            "levels": len(program.levels)}

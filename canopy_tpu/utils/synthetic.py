@@ -72,12 +72,19 @@ def synthetic_mef_tree(n_basic: int = 60, n_gates: int = 40, fanin: int = 3,
 
 def synthetic_compiled_tree(n_basic: int = 4096, n_gates: int = 100_000,
                             fanin: int = 4, n_levels: int = 12,
-                            seed: int = 0) -> CompiledTree:
+                            seed: int = 0,
+                            locality: int | None = None) -> CompiledTree:
     """A benchmark-scale compiled tree (prod-family gates only).
 
     Levels shrink geometrically toward the top; every gate draws ``fanin``
     arguments from the slots below it (biased toward the previous level,
     the common fault-tree shape). nnz = n_gates * fanin.
+
+    ``locality``: when set, a gate's previous-level arguments come from a
+    window of that many slots around its own relative position — the
+    subsystem structure of real plant models (components feed the gates
+    of their own system). This is the structure the BSR/MXU engine
+    exploits; ``None`` = uniform random (worst case for any blocking).
     """
     rng = np.random.default_rng(seed)
     # Geometric level sizes summing to n_gates, last level = 1 (the top).
@@ -96,10 +103,23 @@ def synthetic_compiled_tree(n_basic: int = 4096, n_gates: int = 100_000,
         out_idx = np.arange(next_slot, next_slot + level_size,
                             dtype=np.int32)
         # 70% of edges to the previous level, 30% anywhere below.
-        local = rng.integers(prev_level_start,
-                             prev_level_start + prev_level_size,
-                             size=(level_size, fanin))
-        anywhere = rng.integers(0, next_slot, size=(level_size, fanin))
+        if locality is None:
+            local = rng.integers(prev_level_start,
+                                 prev_level_start + prev_level_size,
+                                 size=(level_size, fanin))
+            anywhere = rng.integers(0, next_slot, size=(level_size, fanin))
+        else:
+            # Window around the gate's relative position (subsystem
+            # structure): both previous-level and deep edges stay local.
+            centers = (np.arange(level_size, dtype=np.int64)[:, None]
+                       * prev_level_size) // max(level_size, 1)
+            offsets = rng.integers(-locality // 2, locality // 2 + 1,
+                                   size=(level_size, fanin))
+            local = prev_level_start + np.clip(
+                centers + offsets, 0, prev_level_size - 1)
+            deep_centers = (np.arange(level_size, dtype=np.int64)[:, None]
+                            * next_slot) // max(level_size, 1)
+            anywhere = np.clip(deep_centers + offsets, 0, next_slot - 1)
         pick_local = rng.random((level_size, fanin)) < 0.7
         arg_idx = np.where(pick_local, local, anywhere).astype(np.int32)
         # Alternate and/or gates; no complements on the hot path.
