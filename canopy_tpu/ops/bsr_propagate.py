@@ -90,39 +90,41 @@ def compile_bsr(tree: CompiledTree) -> BsrProgram:
                 "BSR propagation supports product-family levels only.")
         if not level.prods:
             continue
-        # Merge the level's buckets into one row-ordered edge list.
+        # Merge the level's buckets into one row-ordered edge list
+        # (vectorized: benchmark-scale levels have millions of edges).
         out_start = min(int(b.out_idx[0]) for b in level.prods)
         n_gates = sum(b.n_gates for b in level.prods)
         inv_out = np.zeros(n_gates, dtype=bool)
         n_row_blocks = -(-n_gates // _BLOCK)
-        pair_map: dict[tuple[int, int], np.ndarray] = {}
+        rows_list, cols_list = [], []
         for block in level.prods:
-            for g in range(block.n_gates):
-                row = int(block.out_idx[g]) - out_start
-                inv_out[row] = bool(block.inv_out[g])
-                rb, r_in = divmod(row, _BLOCK)
-                for f in range(block.arg_idx.shape[1]):
-                    if not block.arg_mask[g, f]:
-                        continue
-                    col = int(block.arg_idx[g, f])
-                    if block.arg_flip[g, f]:
-                        col += n_pad  # 1-v half (block-aligned).
-                    cb, c_in = divmod(col, _BLOCK)
-                    tile = pair_map.get((rb, cb))
-                    if tile is None:
-                        tile = np.zeros((_BLOCK, _BLOCK), dtype=np.float32)
-                        pair_map[(rb, cb)] = tile
-                    tile[r_in, c_in] += 1.0
-        pairs = sorted(pair_map)
+            rows_b = np.repeat(block.out_idx.astype(np.int64) - out_start,
+                               block.arg_idx.shape[1])
+            cols_b = block.arg_idx.astype(np.int64).reshape(-1)
+            cols_b = cols_b + np.where(block.arg_flip.reshape(-1), n_pad, 0)
+            keep = block.arg_mask.reshape(-1)
+            rows_list.append(rows_b[keep])
+            cols_list.append(cols_b[keep])
+            inv_out[block.out_idx - out_start] = block.inv_out
+        rows = np.concatenate(rows_list)
+        cols = np.concatenate(cols_list)
+        rb, r_in = np.divmod(rows, _BLOCK)
+        cb, c_in = np.divmod(cols, _BLOCK)
+        pair_key = rb * (2 * n_pad // _BLOCK) + cb
+        unique_keys, pair_of_edge = np.unique(pair_key,
+                                              return_inverse=True)
+        tiles = np.zeros((len(unique_keys), _BLOCK, _BLOCK),
+                         dtype=np.float32)
+        np.add.at(tiles, (pair_of_edge, r_in, c_in), 1.0)
         levels.append(_BsrLevel(
             out_start=out_start, n_gates=n_gates,
             n_row_blocks=n_row_blocks,
-            pair_rows=np.array([p[0] for p in pairs], dtype=np.int32),
-            pair_cols=np.array([p[1] for p in pairs], dtype=np.int32),
-            blocks=np.stack([pair_map[p] for p in pairs])
-            if pairs else np.zeros((0, _BLOCK, _BLOCK), np.float32),
-            inv_out=inv_out))
-        fill_blocks += len(pairs)
+            pair_rows=(unique_keys // (2 * n_pad // _BLOCK))
+            .astype(np.int32),
+            pair_cols=(unique_keys % (2 * n_pad // _BLOCK))
+            .astype(np.int32),
+            blocks=tiles, inv_out=inv_out))
+        fill_blocks += len(unique_keys)
     return BsrProgram(n_nodes=tree.n_nodes, n_pad=n_pad,
                       n_basic=tree.n_basic,
                       n_house=tree.n_house, top_index=tree.top_index,
@@ -130,10 +132,21 @@ def compile_bsr(tree: CompiledTree) -> BsrProgram:
 
 
 def bsr_top_probability(program: BsrProgram, basic_p: jnp.ndarray,
-                        house_states: jnp.ndarray | None = None
-                        ) -> jnp.ndarray:
-    """(T, n_basic) -> (T,) top probabilities through the BSR engine."""
+                        house_states: jnp.ndarray | None = None,
+                        t_chunk: int = 256) -> jnp.ndarray:
+    """(T, n_basic) -> (T,) top probabilities through the BSR engine.
+
+    The trials axis is processed in ``t_chunk`` slabs (via `lax.map`)
+    to bound the materialized gathered-block workspace at
+    ``tiles x 128 x t_chunk`` floats.
+    """
     T = basic_p.shape[0]
+    if T > t_chunk and T % t_chunk == 0:
+        chunks = basic_p.reshape(T // t_chunk, t_chunk, -1)
+        out = jax.lax.map(
+            lambda c: bsr_top_probability(program, c, house_states,
+                                          t_chunk=t_chunk), chunks)
+        return out.reshape(T)
     dtype = jnp.float32
     basic_nm = basic_p.T.astype(dtype)                    # (n_basic, T)
     parts = [basic_nm]
