@@ -111,9 +111,23 @@ def main() -> None:
           f"roofline {roofline/1e9:.2f} G/s, fraction {vs_baseline:.3f}",
           file=sys.stderr)
 
+    # The contract line goes out FIRST so optional diagnostics below can
+    # never starve it (remote compiles are slow and may hit timeouts).
+    print(json.dumps({
+        "metric": "spmm_gate_propagation_nnz_trials_per_s",
+        "value": value,
+        "unit": "nnz*trials/s",
+        "vs_baseline": vs_baseline,
+    }), flush=True)
+
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "360"))
+    bench_start = time.perf_counter()
+
     # Secondary: the bit-packed Boolean MC engine (32 trials per uint32
     # word) on the same structure — the aleatory-simulation headline.
     try:
+        if time.perf_counter() - bench_start > budget_s:
+            raise TimeoutError("budget exhausted")
         from canopy_tpu.ops.bitpack import propagate_packed
 
         mc_words = max(n_trials // 32, 8)
@@ -155,15 +169,20 @@ def main() -> None:
     # tree (real plant models have subsystem locality) vs the gather
     # engine on the same tree.
     try:
+        if time.perf_counter() - bench_start > budget_s:
+            raise TimeoutError("budget exhausted")
         from canopy_tpu.ops.bsr_propagate import (bsr_cost_report,
                                                   bsr_top_probability,
                                                   compile_bsr)
 
-        locality = int(os.environ.get("BENCH_LOCALITY", "512"))
+        locality = int(os.environ.get("BENCH_LOCALITY", "256"))
+        bsr_gates = min(n_gates, 50_000)
         tree_l = synthetic_compiled_tree(
-            n_basic=8192, n_gates=n_gates, fanin=fanin, n_levels=14,
+            n_basic=4096, n_gates=bsr_gates, fanin=fanin, n_levels=12,
             seed=0, locality=locality)
         program = compile_bsr(tree_l)
+        bsr_trials = min(n_trials, 512)
+        basic_p_bsr = basic_p[:bsr_trials, :tree_l.n_basic]
 
         @partial(jax.jit, static_argnums=1)
         def repeat_bsr(basic_p, n_iter):
@@ -182,11 +201,11 @@ def main() -> None:
                                      jnp.asarray(0.0, dtype))
 
         def timed_fn(fn, n_iter):
-            float(fn(basic_p, n_iter))
+            float(fn(basic_p_bsr, n_iter))
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                float(fn(basic_p, n_iter))
+                float(fn(basic_p_bsr, n_iter))
                 best = min(best, time.perf_counter() - t0)
             return best
 
@@ -194,20 +213,14 @@ def main() -> None:
                       - timed_fn(repeat_bsr, 2)) / iters, 1e-9)
         gat_dt = max((timed_fn(repeat_gather_l, 2 + iters)
                       - timed_fn(repeat_gather_l, 2)) / iters, 1e-9)
-        bsr_v = tree_l.nnz * n_trials / bsr_dt
-        gat_v = tree_l.nnz * n_trials / gat_dt
+        bsr_v = tree_l.nnz * bsr_trials / bsr_dt
+        gat_v = tree_l.nnz * bsr_trials / gat_dt
         print(f"bench[bsr locality={locality}]: {bsr_dt*1e3:.2f} ms "
               f"({bsr_v/1e9:.2f} G/s, fill {program.fill_ratio:.0f}x) vs "
               f"gather {gat_dt*1e3:.2f} ms ({gat_v/1e9:.2f} G/s) -> "
               f"{gat_dt/bsr_dt:.2f}x", file=sys.stderr)
     except Exception as exc:  # pragma: no cover - tertiary metric only
         print(f"bench[bsr] skipped: {exc}", file=sys.stderr)
-    print(json.dumps({
-        "metric": "spmm_gate_propagation_nnz_trials_per_s",
-        "value": value,
-        "unit": "nnz*trials/s",
-        "vs_baseline": vs_baseline,
-    }))
 
 
 if __name__ == "__main__":
