@@ -171,7 +171,8 @@ def main() -> None:
     try:
         if time.perf_counter() - bench_start > budget_s:
             raise TimeoutError("budget exhausted")
-        from canopy_tpu.ops.bsr_propagate import (bsr_cost_report,
+        from canopy_tpu.ops.bsr_propagate import (bsr_arrays,
+                                                  bsr_cost_report,
                                                   bsr_top_probability,
                                                   compile_bsr)
 
@@ -181,6 +182,7 @@ def main() -> None:
             n_basic=4096, n_gates=bsr_gates, fanin=fanin, n_levels=12,
             seed=0, locality=locality)
         program = compile_bsr(tree_l)
+        bsr_params = jax.device_put(bsr_arrays(program))
         bsr_trials = min(n_trials, 512)
         basic_p_bsr = basic_p[:bsr_trials, :tree_l.n_basic]
 
@@ -188,7 +190,8 @@ def main() -> None:
         def repeat_bsr(basic_p, n_iter):
             def body(i, acc):
                 p = basic_p * (1.0 + 1e-7 * i)
-                return acc + bsr_top_probability(program, p).sum()
+                return acc + bsr_top_probability(
+                    program, p, params=bsr_params).sum()
             return jax.lax.fori_loop(0, n_iter, body,
                                      jnp.asarray(0.0, dtype))
 

@@ -40,7 +40,8 @@ import numpy as np
 from ..compiler.graph import CompiledTree
 from ..errors import LogicError
 
-__all__ = ["compile_bsr", "bsr_top_probability", "bsr_cost_report"]
+__all__ = ["compile_bsr", "bsr_arrays", "bsr_top_probability",
+           "bsr_cost_report"]
 
 _BLOCK = 128
 _LOG_CLAMP = -1e4
@@ -131,21 +132,37 @@ def compile_bsr(tree: CompiledTree) -> BsrProgram:
                       levels=levels, nnz=tree.nnz, fill_blocks=fill_blocks)
 
 
+def bsr_arrays(program: BsrProgram) -> list[tuple]:
+    """The program's device arrays as an argument pytree.
+
+    Pass these through jit boundaries instead of letting the trace embed
+    them as constants — benchmark-scale tile sets would otherwise bloat
+    the serialized program past compile-service size limits.
+    """
+    return [(jnp.asarray(level.blocks), jnp.asarray(level.pair_cols),
+             jnp.asarray(level.pair_rows), jnp.asarray(level.inv_out))
+            for level in program.levels]
+
+
 def bsr_top_probability(program: BsrProgram, basic_p: jnp.ndarray,
                         house_states: jnp.ndarray | None = None,
-                        t_chunk: int = 256) -> jnp.ndarray:
+                        t_chunk: int = 256,
+                        params: list[tuple] | None = None) -> jnp.ndarray:
     """(T, n_basic) -> (T,) top probabilities through the BSR engine.
 
     The trials axis is processed in ``t_chunk`` slabs (via `lax.map`)
     to bound the materialized gathered-block workspace at
     ``tiles x 128 x t_chunk`` floats.
     """
+    if params is None:
+        params = bsr_arrays(program)
     T = basic_p.shape[0]
     if T > t_chunk and T % t_chunk == 0:
         chunks = basic_p.reshape(T // t_chunk, t_chunk, -1)
         out = jax.lax.map(
             lambda c: bsr_top_probability(program, c, house_states,
-                                          t_chunk=t_chunk), chunks)
+                                          t_chunk=t_chunk, params=params),
+            chunks)
         return out.reshape(T)
     dtype = jnp.float32
     basic_nm = basic_p.T.astype(dtype)                    # (n_basic, T)
@@ -172,18 +189,17 @@ def bsr_top_probability(program: BsrProgram, basic_p: jnp.ndarray,
     L = jnp.concatenate([log_v0, log_1v0], axis=0)        # (2*n_pad, T)
     top_value = None
 
-    for level in program.levels:
+    for level, (blocks, pair_cols, pair_rows, inv_out) in zip(
+            program.levels, params):
         L_blocks = L.reshape(-1, _BLOCK, T)
-        gathered = L_blocks[jnp.asarray(level.pair_cols)]  # (P, 128, T)
-        partial = jnp.einsum("prc,pct->prt",
-                             jnp.asarray(level.blocks), gathered,
+        gathered = L_blocks[pair_cols]                     # (P, 128, T)
+        partial = jnp.einsum("prc,pct->prt", blocks, gathered,
                              preferred_element_type=dtype)
-        y = jax.ops.segment_sum(partial, jnp.asarray(level.pair_rows),
+        y = jax.ops.segment_sum(partial, pair_rows,
                                 num_segments=level.n_row_blocks)
         y = y.reshape(level.n_row_blocks * _BLOCK, T)[:level.n_gates]
         prod = jnp.exp(y)
-        out = jnp.where(jnp.asarray(level.inv_out)[:, None],
-                        1.0 - prod, prod)
+        out = jnp.where(inv_out[:, None], 1.0 - prod, prod)
         lo = level.out_start
         if lo <= program.top_index < lo + level.n_gates:
             top_value = out[program.top_index - lo]
