@@ -70,7 +70,10 @@ def main() -> None:
     # iteration perturbs the input (no CSE across iterations).
     from functools import partial
 
-    @partial(jax.jit, static_argnums=1)
+    # n_iter is a *traced* argument (fori_loop lowers to while), so one
+    # compilation serves every iteration count — remote compiles are the
+    # scarce resource on tunneled devices.
+    @jax.jit
     def repeat_step(basic_p, n_iter):
         def body(i, acc):
             p = basic_p * (1.0 + 1e-7 * i)
@@ -132,7 +135,7 @@ def main() -> None:
 
         mc_words = max(n_trials // 32, 8)
 
-        @partial(jax.jit, static_argnums=1)
+        @jax.jit
         def repeat_packed(packed_basic, n_iter):
             def body(i, acc):
                 p = packed_basic ^ i.astype(jnp.uint32)
@@ -186,7 +189,7 @@ def main() -> None:
         bsr_trials = min(n_trials, 512)
         basic_p_bsr = basic_p[:bsr_trials, :tree_l.n_basic]
 
-        @partial(jax.jit, static_argnums=1)
+        @jax.jit
         def repeat_bsr(basic_p, n_iter):
             def body(i, acc):
                 p = basic_p * (1.0 + 1e-7 * i)
@@ -195,7 +198,7 @@ def main() -> None:
             return jax.lax.fori_loop(0, n_iter, body,
                                      jnp.asarray(0.0, dtype))
 
-        @partial(jax.jit, static_argnums=1)
+        @jax.jit
         def repeat_gather_l(basic_p, n_iter):
             def body(i, acc):
                 p = basic_p * (1.0 + 1e-7 * i)

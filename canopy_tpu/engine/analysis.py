@@ -46,7 +46,7 @@ from .cutset_quantify import (build_cutset_matrix, mcub,
                               product_probabilities, rare_event)
 from .event_tree_walk import walk_event_tree
 from .importance import importance_measures, occurrence_counts
-from .propagate import top_event_probability
+from .propagate import propagate_probability, top_event_probability
 from .sampler import monte_carlo_ci, sample_top_probability
 from .uncertainty import uncertainty_analysis
 
@@ -436,42 +436,88 @@ class RiskAnalysis:
     # -- event trees -------------------------------------------------------
 
     def _analyze_event_tree(self, initiating) -> list[SequenceResult]:
+        """All sequences quantified over ONE shared compiled structure.
+
+        Sequence conditions overlap heavily (each path conjoins pieces of
+        the same fault trees), so the per-sequence gates compile together
+        as a multi-root DAG — shared subtrees appear once, the BDD forest
+        memoizes across roots, and one batched evaluation covers every
+        sequence (the gate-composition form of the chained-SpGEMM
+        linking in BASELINE.json config 4).
+        """
         t0 = time.perf_counter()
         outcomes = walk_event_tree(self.model, initiating)
-        results = []
         mission = self.settings.mission_time()
-        for i, outcome in enumerate(outcomes):
-            probability = 1.0
-            # Initiating event frequency/probability if provided.
-            if getattr(initiating, "expression", None) is not None:
-                probability *= initiating.expression.value()
-            for expression in outcome.expressions:
-                probability *= expression.value()
-            gate = outcome.conjoined_gate(f"__seq{i}__")
-            if gate is not None:
-                tree = compile_gates([gate],
-                                     use_ccf=self.settings.ccf_analysis())
-                tree.top_index = tree.gate_index[gate.id]
-                tape = ExpressionTape.build(
-                    [e.expression for e in tree.basic_events])
-                mean_p = jnp.clip(tape.evaluate_mean(mission), 0.0, 1.0)
+
+        gates = [outcome.conjoined_gate(f"__seq{i}__")
+                 for i, outcome in enumerate(outcomes)]
+        roots = [g for g in gates if g is not None]
+        values: dict[int, float] | None = {}
+        if roots:
+            tree = compile_gates(roots, use_ccf=self.settings.ccf_analysis())
+            tape = ExpressionTape.build(
+                [e.expression for e in tree.basic_events])
+            mean_p = jnp.clip(tape.evaluate_mean(mission), 0.0, 1.0)
+            # House states may differ per outcome (path-local flips), so
+            # evaluation batches over one house vector per sequence.
+            house_rows = []
+            for outcome, gate in zip(outcomes, gates):
+                if gate is None:
+                    continue
                 house = tree.house_state_vector()
                 for event_id, state in outcome.house_states.items():
                     slot = tree.house_index.get(event_id)
                     if slot is not None:
                         house[slot - tree.n_basic] = 1.0 if state else 0.0
-                # Exact quantification when the algorithm allows it:
-                # sequence conditions share events across paths.
-                if self.settings.algorithm() == Algorithm.BDD:
-                    try:
-                        bdd = build_bdd(tree, house_states=house)
-                        probability *= float(bdd_probability(bdd, mean_p))
-                    except BddBlowupError:
-                        probability *= float(top_event_probability(
-                            tree, mean_p, jnp.asarray(house)))
-                else:
-                    probability *= float(top_event_probability(
-                        tree, mean_p, jnp.asarray(house)))
+                house_rows.append(house)
+            house_batch = jnp.asarray(np.stack(house_rows)) if house_rows \
+                else jnp.zeros((0, tree.n_house))
+            uniform_house = bool(
+                house_rows and
+                all((h == house_rows[0]).all() for h in house_rows))
+            use_bdd = self.settings.algorithm() == Algorithm.BDD
+            values = None
+            if use_bdd and uniform_house:
+                try:
+                    bdd_cache: dict[int, float] = {}
+                    for k, gate in enumerate(g for g in gates
+                                             if g is not None):
+                        tree.top_index = tree.gate_index[gate.id]
+                        bdd = build_bdd(tree, house_states=house_rows[0])
+                        bdd_cache[k] = float(bdd_probability(bdd, mean_p))
+                    values = bdd_cache
+                except BddBlowupError:
+                    values = None
+            if values is None and use_bdd and not uniform_house:
+                try:
+                    values = {}
+                    for k, gate in enumerate(g for g in gates
+                                             if g is not None):
+                        tree.top_index = tree.gate_index[gate.id]
+                        bdd = build_bdd(tree, house_states=house_rows[k])
+                        values[k] = float(bdd_probability(bdd, mean_p))
+                except BddBlowupError:
+                    values = None
+            if values is None:
+                # One batched propagation: row k uses house vector k.
+                all_vals = propagate_probability(tree, mean_p[None, :],
+                                                 house_batch)
+                root_slots = [tree.gate_index[g.id] for g in gates
+                              if g is not None]
+                values = {k: float(all_vals[k, slot])
+                          for k, slot in enumerate(root_slots)}
+
+        results = []
+        cursor = 0
+        for outcome, gate in zip(outcomes, gates):
+            probability = 1.0
+            if getattr(initiating, "expression", None) is not None:
+                probability *= initiating.expression.value()
+            for expression in outcome.expressions:
+                probability *= expression.value()
+            if gate is not None:
+                probability *= values[cursor]
+                cursor += 1
             results.append(SequenceResult(
                 initiating_event=initiating.name,
                 event_tree=initiating.event_tree.name,

@@ -149,7 +149,11 @@ def propagate_node_major(tree: CompiledTree, basic_nm: jnp.ndarray,
 
 def _to_node_major(tree: CompiledTree, basic_p, house_states):
     batch_shape = jnp.shape(basic_p)[:-1]
+    if tree.n_house:
+        batch_shape = jnp.broadcast_shapes(
+            batch_shape, jnp.shape(house_states)[:-1])
     B = math.prod(batch_shape) if batch_shape else 1
+    basic_p = jnp.broadcast_to(basic_p, batch_shape + (tree.n_basic,))
     basic_nm = jnp.reshape(basic_p, (B, tree.n_basic)).T
     house_nm = jnp.reshape(
         jnp.broadcast_to(house_states, batch_shape + (tree.n_house,)),
