@@ -190,13 +190,16 @@ def main() -> None:
         basic_p_bsr = basic_p[:bsr_trials, :tree_l.n_basic]
 
         @jax.jit
-        def repeat_bsr(basic_p, n_iter):
+        def repeat_bsr(basic_p, n_iter, params):
             def body(i, acc):
                 p = basic_p * (1.0 + 1e-7 * i)
                 return acc + bsr_top_probability(
-                    program, p, params=bsr_params).sum()
+                    program, p, params=params).sum()
             return jax.lax.fori_loop(0, n_iter, body,
                                      jnp.asarray(0.0, dtype))
+
+        def repeat_bsr_bound(basic_p, n_iter):
+            return repeat_bsr(basic_p, n_iter, bsr_params)
 
         @jax.jit
         def repeat_gather_l(basic_p, n_iter):
@@ -215,8 +218,8 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        bsr_dt = max((timed_fn(repeat_bsr, 2 + iters)
-                      - timed_fn(repeat_bsr, 2)) / iters, 1e-9)
+        bsr_dt = max((timed_fn(repeat_bsr_bound, 2 + iters)
+                      - timed_fn(repeat_bsr_bound, 2)) / iters, 1e-9)
         gat_dt = max((timed_fn(repeat_gather_l, 2 + iters)
                       - timed_fn(repeat_gather_l, 2)) / iters, 1e-9)
         bsr_v = tree_l.nnz * bsr_trials / bsr_dt
