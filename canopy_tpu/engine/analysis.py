@@ -196,14 +196,19 @@ class RiskAnalysis:
 
         # Exact (BDD) evaluator: the default algorithm. House states fold
         # into the BDD structure, so it is built after overrides apply.
+        # Modular decomposition (Dutuit-Rauzy) keeps per-module BDDs
+        # small; a tree with no modules degenerates to one monolithic BDD.
         top_fn = None
         method = self._method_name()
         if settings.algorithm() == Algorithm.BDD and \
                 settings.approximation() == Approximation.NONE:
             try:
                 t0 = time.perf_counter()
-                bdd = build_bdd(tree, house_states=np.asarray(house))
-                top_fn = lambda p: bdd_probability(bdd, p)  # noqa: E731
+                from ..compiler.modules import (build_modular_bdd,
+                                                modular_probability)
+                modular = build_modular_bdd(tree,
+                                            house_states=np.asarray(house))
+                top_fn = lambda p: modular_probability(modular, p)  # noqa: E731
                 self._timings[f"bdd:{top.id}"] = time.perf_counter() - t0
             except BddBlowupError:
                 method = "bdd-fallback/direct-propagation"
@@ -224,13 +229,19 @@ class RiskAnalysis:
                 cut_off=settings.cut_off()
                 if settings.approximation() != Approximation.NONE else 0.0,
                 probabilities=np.asarray(mean_p))
+            products = None
             if top_fn is not None and not settings.prime_implicants():
-                # The BDD is already built: derive exact minimal cut
-                # sets from it (the ZBDD minimal-solutions transform).
-                from ..compiler.zbdd import bdd_minimal_cut_sets
-                products = bdd_minimal_cut_sets(
-                    bdd, limit_order=settings.limit_order())
-            else:
+                # Exact minimal cut sets via the ZBDD minimal-solutions
+                # transform over a monolithic BDD (module pseudo-events
+                # would leak into products otherwise).
+                try:
+                    from ..compiler.zbdd import bdd_minimal_cut_sets
+                    bdd = build_bdd(tree, house_states=np.asarray(house))
+                    products = bdd_minimal_cut_sets(
+                        bdd, limit_order=settings.limit_order())
+                except BddBlowupError:
+                    products = None
+            if products is None:
                 products = generator.generate(top)
             if not settings.prime_implicants():
                 # Minimal-cut-set mode: complemented literals are dropped
