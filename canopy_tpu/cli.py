@@ -27,8 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="canopy-tpu",
         description="TPU-native quantification of Open-PSA MEF models.")
-    parser.add_argument("input_files", nargs="+",
+    parser.add_argument("input_files", nargs="*",
                         help="MEF XML input files (globs allowed)")
+    parser.add_argument("--project", metavar="PROJECT_XML",
+                        help="load input files + options from a project "
+                             "file (CLI flags override its options)")
     parser.add_argument("-o", "--output", default=None,
                         help="write the report to this file "
                              "(.xml or .json by extension; default stdout "
@@ -83,17 +86,21 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def settings_from_args(args) -> Settings:
+def settings_from_args(args, base: Settings | None = None) -> Settings:
     """Build Settings with the same ordering semantics as the reference
-    (algorithm first — it sets approximation defaults — then overrides)."""
-    settings = Settings()
+    (algorithm first — it sets approximation defaults — then overrides).
+
+    With ``base`` (from a project file), only explicitly-given CLI flags
+    override the project's options.
+    """
+    settings = base if base is not None else Settings()
     if args.zbdd:
         settings.algorithm("zbdd")
     elif args.mocus:
         settings.algorithm("mocus")
     elif args.pdag:
         settings.algorithm("pdag")
-    else:
+    elif args.bdd or base is None:
         settings.algorithm("bdd")
     if args.rare_event:
         settings.approximation("rare-event")
@@ -137,13 +144,28 @@ def main(argv: list[str] | None = None) -> int:
         import jax
         jax.config.update("jax_platforms", args.platform)
     try:
-        settings = settings_from_args(args)
+        input_files = list(args.input_files)
+        output = args.output
+        if args.project:
+            from .project import load_project
+            project = load_project(args.project)
+            input_files = project.input_files + input_files
+            settings = settings_from_args(args, base=project.settings)
+            if output is None:
+                output = project.output
+        else:
+            settings = settings_from_args(args)
+        if not input_files:
+            print("error: no input files (positional or --project)",
+                  file=sys.stderr)
+            return 2
+        args.output = output
         schema = args.validate
         if schema == "__default__":
             from .schemas import default_schema_path
             schema = default_schema_path()
         from .mef.initializer import Initializer
-        init = Initializer(args.input_files, settings,
+        init = Initializer(input_files, settings,
                            allow_extern=args.allow_extern,
                            schema_path=schema)
         from .engine.analysis import RiskAnalysis
