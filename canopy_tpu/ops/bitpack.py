@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..compiler.graph import CompiledTree, CountBlock, LevelBlock, PairBlock, ProdBlock
+from ..compiler.graph import CompiledTree, CountBlock, PairBlock, ProdBlock
 
 __all__ = ["pack_states", "sample_states_packed", "propagate_packed",
            "packed_top_probability", "popcount_mean"]

@@ -25,15 +25,13 @@ on TPU they compile with Mosaic.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..compiler.graph import CompiledTree, Connective
+from ..compiler.graph import CompiledTree
 
 __all__ = ["packed_bernoulli", "fused_propagate"]
 
