@@ -61,61 +61,11 @@ def main() -> None:
     print(f"bench: {tree.n_gates} gates, nnz={nnz}, depth={tree.depth}, "
           f"trials={n_trials}, dtype={dtype.__name__}, "
           f"backend={jax.default_backend()}", file=sys.stderr)
-
-    house = jnp.zeros((0,), dtype=dtype)
-
-    # Iterations are chained inside one jitted fori_loop and reduced to a
-    # scalar: a single dispatch and a single device-to-host transfer, so
-    # remote/async dispatch semantics cannot fake the timing. Each
-    # iteration perturbs the input (no CSE across iterations).
-    from functools import partial
-
-    # n_iter is a *traced* argument (fori_loop lowers to while), so one
-    # compilation serves every iteration count — remote compiles are the
-    # scarce resource on tunneled devices.
-    @jax.jit
-    def repeat_step(basic_p, n_iter):
-        def body(i, acc):
-            p = basic_p * (1.0 + 1e-7 * i)
-            return acc + top_event_probability(tree, p, house).sum()
-        return jax.lax.fori_loop(0, n_iter, body, jnp.asarray(0.0, dtype))
-
     rng = np.random.default_rng(0)
-    basic_p = jnp.asarray(
-        rng.uniform(0.0, 0.05, (n_trials, tree.n_basic)), dtype=dtype)
-
     iters = int(os.environ.get("BENCH_ITERS", "16"))
 
-    def timed(n_iter):
-        float(repeat_step(basic_p, n_iter))  # Warmup/compile this variant.
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(repeat_step(basic_p, n_iter))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    # Differencing two iteration counts cancels fixed dispatch/transfer
-    # overhead (significant on tunneled devices).
-    t_small = timed(2)
-    t_large = timed(2 + iters)
-    elapsed = max((t_large - t_small) / iters, 1e-9)
-
-    gather_value = nnz * n_trials / elapsed
-
-    # Roofline: per (nnz x trial) the gather reads 4 bytes and the gate
-    # write amortizes to 4/fanin bytes; value-vector streaming re-reads
-    # add ~4/fanin more. ~ (4 + 8/fanin) bytes per element.
-    bytes_per_element = 4.0 + 8.0 / fanin
-    roofline = _hbm_bandwidth_bytes() / bytes_per_element
-    print(f"bench[gather {n_gates}g]: {elapsed*1e3:.2f} ms/iter, "
-          f"{gather_value/1e9:.2f} Gnnz*trials/s, roofline "
-          f"{roofline/1e9:.2f} G/s, fraction "
-          f"{gather_value/roofline:.3f}", file=sys.stderr)
-
-    # Production-model scale: the fused whole-tree-in-VMEM Pallas kernel
-    # (static row indexing, zero inter-level HBM traffic). Sized to the
-    # VMEM budget; exceeds the gather-formulation HBM roofline by design.
+    # Production-model scale FIRST (fast compile -> the contract line is
+    # never starved): the fused whole-tree-in-VMEM Pallas kernel.
     fused_value = 0.0
     try:
         from canopy_tpu.ops.pallas_kernels import fused_propagate
@@ -151,10 +101,58 @@ def main() -> None:
                        1e-9)
         fused_value = tree_f.nnz * fused_trials / fused_dt
         print(f"bench[fused-vmem {fused_gates}g]: {fused_dt*1e3:.2f} ms/"
-              f"iter, {fused_value/1e9:.2f} Gnnz*trials/s "
-              f"({fused_value/gather_value:.1f}x gather)", file=sys.stderr)
+              f"iter, {fused_value/1e9:.2f} Gnnz*trials/s",
+              file=sys.stderr)
     except Exception as exc:
         print(f"bench[fused-vmem] skipped: {exc}", file=sys.stderr)
+
+    house = jnp.zeros((0,), dtype=dtype)
+
+    # Iterations are chained inside one jitted fori_loop and reduced to a
+    # scalar: a single dispatch and a single device-to-host transfer, so
+    # remote/async dispatch semantics cannot fake the timing. Each
+    # iteration perturbs the input (no CSE across iterations).
+    from functools import partial
+
+    # n_iter is a *traced* argument (fori_loop lowers to while), so one
+    # compilation serves every iteration count — remote compiles are the
+    # scarce resource on tunneled devices.
+    @jax.jit
+    def repeat_step(basic_p, n_iter):
+        def body(i, acc):
+            p = basic_p * (1.0 + 1e-7 * i)
+            return acc + top_event_probability(tree, p, house).sum()
+        return jax.lax.fori_loop(0, n_iter, body, jnp.asarray(0.0, dtype))
+
+    basic_p = jnp.asarray(
+        rng.uniform(0.0, 0.05, (n_trials, tree.n_basic)), dtype=dtype)
+
+    def timed(n_iter):
+        float(repeat_step(basic_p, n_iter))  # Warmup/compile this variant.
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(repeat_step(basic_p, n_iter))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # Differencing two iteration counts cancels fixed dispatch/transfer
+    # overhead (significant on tunneled devices).
+    t_small = timed(2)
+    t_large = timed(2 + iters)
+    elapsed = max((t_large - t_small) / iters, 1e-9)
+
+    gather_value = nnz * n_trials / elapsed
+
+    # Roofline: per (nnz x trial) the gather reads 4 bytes and the gate
+    # write amortizes to 4/fanin bytes; value-vector streaming re-reads
+    # add ~4/fanin more. ~ (4 + 8/fanin) bytes per element.
+    bytes_per_element = 4.0 + 8.0 / fanin
+    roofline = _hbm_bandwidth_bytes() / bytes_per_element
+    print(f"bench[gather {n_gates}g]: {elapsed*1e3:.2f} ms/iter, "
+          f"{gather_value/1e9:.2f} Gnnz*trials/s, roofline "
+          f"{roofline/1e9:.2f} G/s, fraction "
+          f"{gather_value/roofline:.3f}", file=sys.stderr)
 
     value = max(gather_value, fused_value)
     vs_baseline = value / roofline
