@@ -82,8 +82,8 @@ class Element:
         self.usage: bool = False
         #: DFS mark for cycle detection / top-event collection (element.h:669-691).
         self.mark = None
-        #: XML source context, attached by the initializer for error messages.
-        self.source: tuple[str, int] | None = None
+        #: XML source context (filename, line) for error messages.
+        self.source_location: tuple[str, int] | None = None
 
     # -- identity ----------------------------------------------------------
     @property

@@ -237,7 +237,7 @@ class Initializer:
         except ValidityError as err:
             raise err.with_context(filename=xml.filename, line=xml.line)
         _attach_label_and_attributes(xml, element)
-        element.source = (xml.filename, xml.line)
+        element.source_location = (xml.filename, xml.line)
         return element
 
     def _construct_role(self, cls, xml: XmlElement, base_path: str,
