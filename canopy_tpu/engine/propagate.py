@@ -182,13 +182,34 @@ def top_event_probability(tree: CompiledTree, basic_p: jnp.ndarray,
     return jnp.reshape(vals[tree.top_index], batch_shape)
 
 
-def make_propagator(tree: CompiledTree, output: str = "top"):
+def make_propagator(tree: CompiledTree, output: str = "top",
+                    engine: str = "auto"):
     """A jitted closure ``f(basic_p, house_states) -> prob``.
 
     ``output``: "top" for the top-event scalar, "all" for the full value
-    vector. One compilation serves any number of probability vectors
-    (time steps, uncertainty trials, importance grads).
+    vector. ``engine``: "gather" (this module), "fused" (the
+    whole-tree-in-VMEM Pallas kernel; TPU only, top output only), or
+    "auto" — fused when the tree fits VMEM on a TPU backend, else
+    gather. One compilation serves any number of probability vectors
+    (time steps, uncertainty trials, importance grads; grads require the
+    gather engine).
     """
+    if engine == "auto" and output == "top":
+        from ..ops.pallas_kernels import fused_supported
+        engine = "fused" if (jax.default_backend() == "tpu"
+                             and fused_supported(tree)) else "gather"
+    if engine == "fused":
+        if output != "top":
+            raise ValueError("the fused engine only produces the top value")
+        from ..ops.pallas_kernels import fused_propagate
+
+        # House states fold into the kernel (static) — rebuild the
+        # propagator to change them.
+        house = tree.house_state_vector()
+
+        def fn(basic_p):
+            return fused_propagate(tree, basic_p, house)
+        return jax.jit(fn)
     if output == "top":
         fn = functools.partial(top_event_probability, tree)
     else:

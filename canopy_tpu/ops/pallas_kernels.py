@@ -138,6 +138,18 @@ def _emit_gate_ops(tree: CompiledTree):
     return ops
 
 
+#: VMEM working budget for the fused kernel (v5e has ~16 MB/core; leave
+#: headroom for the pipeline's own buffers).
+_FUSED_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def fused_supported(tree: CompiledTree,
+                    block_trials: int = 128) -> bool:
+    """True when the whole tree fits the fused kernel's VMEM budget."""
+    per_trial = (tree.n_gates + tree.n_basic) * 4
+    return per_trial * block_trials <= _FUSED_VMEM_BUDGET
+
+
 def fused_propagate(tree: CompiledTree, basic_p: jnp.ndarray,
                     house_states: jnp.ndarray,
                     block_trials: int = 128,
@@ -146,8 +158,14 @@ def fused_propagate(tree: CompiledTree, basic_p: jnp.ndarray,
 
     ``basic_p``: (n_trials, n_basic); returns (n_trials,). Gate structure
     is unrolled at trace time (static row indexing), so this kernel suits
-    up to ~tens of thousands of argument edges.
+    up to ~tens of thousands of argument edges; check
+    :func:`fused_supported` first for larger trees.
     """
+    if not fused_supported(tree, block_trials):
+        raise ValueError(
+            f"tree ({tree.n_gates} gates + {tree.n_basic} basics) x "
+            f"{block_trials} trials exceeds the fused kernel's VMEM "
+            "budget; use the gather engine")
     n_trials, n_basic = basic_p.shape
     ops = _emit_gate_ops(tree)
     house = np.asarray(house_states, dtype=np.float32)
