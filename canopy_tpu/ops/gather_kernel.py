@@ -4,18 +4,20 @@ The XLA gather engine issues one row copy at a time from its gather loop
 (~56 ns per row measured on v5e — far under DMA bandwidth for 8 KB rows).
 This kernel drives the row traffic explicitly:
 
-* the value matrix stays in HBM (`pltpu.ANY`) and is **aliased in place**
-  (`input_output_aliases`) — levels update their contiguous row ranges
-  with no whole-matrix copies;
-* per grid tile, argument-row DMAs for the *next* gate are issued while
-  the current gate's product accumulates (double buffering), keeping
-  several copies in flight per DMA queue;
+* the value matrix lives in HBM (`pltpu.ANY`) shaped ``(n_nodes, 8,
+  T/8)`` — one full (8, T/8) hardware tile per node, so a single-node
+  DMA is tiling-aligned (Mosaic rejects 1-row slices of a 2-D layout);
+* the matrix is **aliased in place** (`input_output_aliases`) — levels
+  update their contiguous row ranges with no whole-matrix copies;
+* per grid tile, argument DMAs for the *next* gate are issued while the
+  current gate's product accumulates (double buffering);
 * gate outputs accumulate in a VMEM tile and leave as one contiguous
   block copy per tile.
 
 One `pallas_call` per level (static row offset per call), chained inside
-the jitted propagation. Product family only — the counting/pair families
-stay on the XLA engine (they are a vanishing fraction of real trees).
+the jitted propagation. Product family only — counting/pair families
+stay on the XLA engine (a vanishing fraction of real trees). Requires
+the trials count to be a multiple of 1024 (lane alignment of T/8).
 """
 
 from __future__ import annotations
@@ -36,18 +38,17 @@ _TG = 16  # Gates per grid tile.
 
 
 def _level_kernel(idx_ref, flip_ref, inv_ref, vals_ref, out_vals_ref,
-                  row_buf, out_buf, in_sems, out_sem, *, out_start, n_gates,
-                  fanin, n_trials):
+                  row_buf, out_buf, in_sems, out_sem, *, out_start,
+                  n_gates, fanin):
     """One level's product-family gates (grid over gate tiles)."""
     tile = pl.program_id(0)
     base = tile * _TG
 
     def issue(g_local, slot):
-        # Start the F argument-row copies for local gate g into `slot`.
         for f in range(fanin):
             row = idx_ref[g_local, f]
             pltpu.make_async_copy(
-                vals_ref.at[pl.ds(row, 1), :],
+                vals_ref.at[pl.ds(row, 1)],
                 row_buf.at[slot, f],
                 in_sems.at[slot, f]).start()
 
@@ -68,46 +69,43 @@ def _level_kernel(idx_ref, flip_ref, inv_ref, vals_ref, out_vals_ref,
             acc = None
             for f in range(fanin):
                 pltpu.make_async_copy(
-                    vals_ref.at[pl.ds(idx_ref[g_local, f], 1), :],
+                    vals_ref.at[pl.ds(idx_ref[g_local, f], 1)],
                     row_buf.at[slot, f],
                     in_sems.at[slot, f]).wait()
-                v = row_buf[slot, f, 0, :]
+                v = row_buf[slot, f, 0]          # (8, T/8) tile.
                 x = jnp.where(flip_ref[g_local, f] != 0, 1.0 - v, v)
                 acc = x if acc is None else acc * x
-            out_buf[g_local, :] = jnp.where(inv_ref[g_local, 0] != 0,
-                                            1.0 - acc, acc)
+            out_buf[g_local] = jnp.where(inv_ref[g_local, 0] != 0,
+                                         1.0 - acc, acc)
         return 0
 
     jax.lax.fori_loop(0, _TG, body, 0)
 
-    # One contiguous block write for the tile (padded rows land in the
-    # compiler's scratch margin past n_nodes).
     copy_out = pltpu.make_async_copy(
         out_buf,
-        out_vals_ref.at[pl.ds(out_start + base, _TG), :],
+        out_vals_ref.at[pl.ds(out_start + base, _TG)],
         out_sem)
     copy_out.start()
     copy_out.wait()
 
 
 def gather_supported(tree: CompiledTree) -> bool:
-    """Product-family-only trees qualify for the DMA kernel."""
-    return all(not level.pairs and not level.counts for level in tree.levels)
+    """Product-family-only, house-free trees qualify for the DMA kernel."""
+    return tree.n_house == 0 and all(
+        not level.pairs and not level.counts for level in tree.levels)
 
 
 def gather_propagate(tree: CompiledTree, basic_p: jnp.ndarray,
                      interpret: bool = False) -> jnp.ndarray:
-    """(T, n_basic) -> (T,) top probabilities via per-level DMA kernels.
-
-    House events are not yet supported on this path (benchmark-scale
-    synthetic structures); use the XLA engine for house-bearing trees.
-    """
+    """(T, n_basic) -> (T,) top probabilities via per-level DMA kernels."""
     assert tree.n_house == 0, "house events: use the XLA gather engine"
     n_trials, n_basic = basic_p.shape
+    assert n_trials % 1024 == 0, "the DMA kernel needs T % 1024 == 0"
+    lanes = n_trials // 8
     pad_rows = _TG  # Write margin for the final partial tile.
     vals = jnp.concatenate([
-        basic_p.T.astype(jnp.float32),
-        jnp.zeros((tree.n_gates + pad_rows, n_trials), dtype=jnp.float32),
+        basic_p.T.astype(jnp.float32).reshape(n_basic, 8, lanes),
+        jnp.zeros((tree.n_gates + pad_rows, 8, lanes), dtype=jnp.float32),
     ], axis=0)
 
     for level in tree.levels:
@@ -122,7 +120,7 @@ def gather_propagate(tree: CompiledTree, basic_p: jnp.ndarray,
             inv_padded[:G, 0] = block.inv_out
             kernel = functools.partial(
                 _level_kernel, out_start=int(block.out_idx[0]),
-                n_gates=G, fanin=F, n_trials=n_trials)
+                n_gates=G, fanin=F)
             with jax.enable_x64(False):
                 vals = pl.pallas_call(
                     kernel,
@@ -140,8 +138,8 @@ def gather_propagate(tree: CompiledTree, basic_p: jnp.ndarray,
                     out_shape=jax.ShapeDtypeStruct(vals.shape, jnp.float32),
                     input_output_aliases={3: 0},
                     scratch_shapes=[
-                        pltpu.VMEM((2, F, 1, n_trials), jnp.float32),
-                        pltpu.VMEM((_TG, n_trials), jnp.float32),
+                        pltpu.VMEM((2, F, 1, 8, lanes), jnp.float32),
+                        pltpu.VMEM((_TG, 8, lanes), jnp.float32),
                         pltpu.SemaphoreType.DMA((2, F)),
                         pltpu.SemaphoreType.DMA(()),
                     ],
@@ -151,4 +149,4 @@ def gather_propagate(tree: CompiledTree, basic_p: jnp.ndarray,
                                else False),
                 )(jnp.asarray(idx_padded), jnp.asarray(flip_padded),
                   jnp.asarray(inv_padded), vals)
-    return vals[tree.top_index]
+    return vals[tree.top_index].reshape(n_trials)
