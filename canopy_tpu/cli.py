@@ -65,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="safety-integrity-level metrics "
                              "(requires --time-step)")
     parser.add_argument("--skip-products", action="store_true")
+    parser.add_argument("--preprocessor", action="store_true",
+                        help="stop after model setup; report structure only")
 
     parser.add_argument("--limit-order", type=int, metavar="N")
     parser.add_argument("--cut-off", type=float, metavar="P")
@@ -135,6 +137,8 @@ def settings_from_args(args, base: Settings | None = None) -> Settings:
         settings.ccf_analysis(True)
     if args.skip_products:
         settings.skip_products(True)
+    if args.preprocessor:
+        settings.preprocessor = True
     return settings
 
 

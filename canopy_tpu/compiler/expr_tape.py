@@ -383,8 +383,11 @@ class ExpressionTape:
             else:
                 values[slot] = _ELEMENTWISE[kind](*a)
 
-        outs = [jnp.broadcast_to(values[s], draw_shape())
-                if sampling else values[s] for s in self._out_slots]
+        # Mean mode broadcasts to the mission-time shape (time-step
+        # sweeps pass a vector of times); sample mode to the trials axis.
+        out_shape = draw_shape() if sampling else jnp.shape(mission_time)
+        outs = [jnp.broadcast_to(values[s], out_shape)
+                for s in self._out_slots]
         return jnp.stack([jnp.asarray(o, dtype=jnp.float64) for o in outs],
                          axis=-1)
 

@@ -365,14 +365,14 @@ class RiskAnalysis:
         times = np.arange(step, mission + step / 2, step)
         if len(times) == 0:
             times = np.array([mission])
-        curve = []
-        for t in times:
-            p_t = jnp.clip(tape.evaluate_mean(float(t)), 0.0, 1.0)
-            if top_fn is not None:
-                curve.append(float(top_fn(p_t)))
-            else:
-                curve.append(float(top_event_probability(tree, p_t, house)))
-        curve_arr = np.array(curve)
+        # One batched evaluation: mission time is a traced input of the
+        # tape, so the whole sweep is a single vectorized pass.
+        p_t = jnp.clip(tape.evaluate_mean(jnp.asarray(times)), 0.0, 1.0)
+        if top_fn is not None:
+            curve_arr = np.asarray(top_fn(p_t), dtype=np.float64)
+        else:
+            curve_arr = np.asarray(
+                top_event_probability(tree, p_t, house), dtype=np.float64)
         pfd_avg = float(curve_arr.mean())
         # Average failure frequency (PFH): mean d/dt of the curve.
         pfh_avg = float(np.gradient(curve_arr, times).mean()) \
