@@ -104,7 +104,12 @@ def _count_packed(vals, block: CountBlock):
         # carry out of the top plane cannot happen: F < 2^n_planes.
 
     def count_geq(k: np.ndarray):
-        """Bitwise comparator: lanes where count >= k (per-gate k)."""
+        """Bitwise comparator: lanes where count >= k (per-gate k).
+
+        Thresholds beyond the counter's range (k >= 2^n_planes) are
+        unreachable: the comparator would otherwise wrap k modulo the
+        plane count and compare against k's low bits only.
+        """
         ge = jnp.zeros((G, W), dtype=jnp.uint32)
         eq = jnp.full((G, W), _FULL, dtype=jnp.uint32)
         for b in range(n_planes - 1, -1, -1):
@@ -113,7 +118,8 @@ def _count_packed(vals, block: CountBlock):
                                 jnp.uint32(0))
             ge = ge | (eq & planes[b] & ~kb_mask)
             eq = eq & ~(planes[b] ^ kb_mask)
-        return ge | eq
+        reachable = (k < (1 << n_planes))[:, None]
+        return jnp.where(jnp.asarray(reachable), ge | eq, jnp.uint32(0))
 
     min_num = np.asarray(block.min_num)
     max_num = np.asarray(block.max_num)
