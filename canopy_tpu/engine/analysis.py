@@ -305,6 +305,20 @@ class RiskAnalysis:
 
         if settings.uncertainty_analysis() and tape.n_deviates:
             t0 = time.perf_counter()
+            # Uncertainty propagates through the same quantification the
+            # point estimate used: exact BDD when available, otherwise
+            # the configured cut-set approximation per trial (the batched
+            # SpMM configuration), otherwise direct propagation.
+            unc_fn = top_fn
+            if unc_fn is None and products is not None and \
+                    settings.approximation() in (Approximation.RARE_EVENT,
+                                                 Approximation.MCUB):
+                matrix_u = build_cutset_matrix(products, tree.n_basic)
+                reducer = (rare_event
+                           if settings.approximation() ==
+                           Approximation.RARE_EVENT else mcub)
+                unc_fn = lambda p: reducer(  # noqa: E731
+                    product_probabilities(matrix_u, p))
             unc = uncertainty_analysis(
                 tree, tape, jax.random.PRNGKey(settings.seed()),
                 settings.num_trials(), mission,
@@ -312,7 +326,7 @@ class RiskAnalysis:
                 num_bins=settings.num_bins(), house_states=house,
                 batch_size=(settings.batch_size()
                             if settings.batch_size() > 1 else None),
-                top_fn=top_fn)
+                top_fn=unc_fn)
             ci = unc.confidence_interval(0.95)
             result.uncertainty = {
                 "mean": unc.mean, "std": unc.std,

@@ -151,3 +151,22 @@ class TestReport:
         assert payload["settings"]["ccf_analysis"] is True
         assert payload["fault_trees"]
         assert "total" in payload["timings"]
+
+
+class TestUncertaintyWithApproximation:
+    def test_rare_event_uncertainty_path(self):
+        """With mocus/rare-event, uncertainty propagates per trial
+        through the cut-set SpMM (not the exact engine)."""
+        settings = (Settings().algorithm("mocus")
+                    .uncertainty_analysis(True).ccf_analysis(True)
+                    .num_trials(400).seed(5))
+        model = load_demo(settings)
+        report = RiskAnalysis(model, settings).run()
+        base = [r for r in report.fault_trees if r.alignment is None][0]
+        unc = base.uncertainty
+        assert unc is not None
+        # Rare-event is an upper bound, so the sampled mean should sit
+        # at or slightly above the exact point value.
+        exact = expected_demo_probability()
+        assert unc["mean"] > exact * 0.5
+        assert base.method == "mocus/rare_event"
