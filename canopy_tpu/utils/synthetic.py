@@ -20,7 +20,8 @@ from ..compiler.graph import (CompiledTree, CountBlock, LevelBlock,
 from ..mef.event import Arg, BasicEvent, Connective, Formula, Gate
 from ..mef.expr.constant import ConstantExpression
 
-__all__ = ["synthetic_mef_tree", "synthetic_compiled_tree"]
+__all__ = ["synthetic_mef_tree", "synthetic_compiled_tree",
+           "synthetic_hierarchical_tree"]
 
 
 def synthetic_mef_tree(n_basic: int = 60, n_gates: int = 40, fanin: int = 3,
@@ -141,5 +142,57 @@ def synthetic_compiled_tree(n_basic: int = 4096, n_gates: int = 100_000,
         basic_index={f"be{i}": i for i in range(n_basic)},
         house_index={},
         gate_index={f"g{i}": n_basic + i for i in range(int(sizes.sum()))},
+        levels=levels, basic_events=[], house_events=[], gates=[],
+        top_index=next_slot - 1)
+
+
+def synthetic_hierarchical_tree(n_basic: int = 65536, branching: int = 4,
+                                share_fraction: float = 0.1,
+                                n_shared: int = 256,
+                                seed: int = 0) -> CompiledTree:
+    """A subsystem-hierarchy tree: the structured plant-model shape.
+
+    Level-l gate *i* takes the contiguous block of ``branching`` level-
+    (l-1) nodes starting at ``i*branching`` (its subsystem's children);
+    with probability ``share_fraction`` one argument is redirected into a
+    small shared-event window (common-cause couplings). This is the
+    structure the BSR/MXU engine's fill ratio depends on — real plant
+    models look like this, uniform-random synthetics do not.
+    """
+    rng = np.random.default_rng(seed)
+    levels = []
+    next_slot = n_basic
+    prev_start, prev_size = 0, n_basic
+    total_gates = 0
+    while prev_size > 1:
+        level_size = max(prev_size // branching, 1)
+        out_idx = np.arange(next_slot, next_slot + level_size,
+                            dtype=np.int32)
+        base = prev_start + (np.arange(level_size, dtype=np.int64)[:, None]
+                             * branching)
+        arg_idx = (base + np.arange(branching, dtype=np.int64)[None, :])
+        arg_idx = np.minimum(arg_idx, prev_start + prev_size - 1)
+        # Shared-event couplings.
+        share = rng.random((level_size, branching)) < share_fraction
+        shared_targets = rng.integers(0, min(n_shared, n_basic),
+                                      size=(level_size, branching))
+        arg_idx = np.where(share, shared_targets, arg_idx).astype(np.int32)
+        is_or = (np.arange(level_size) % 2 == 0)
+        arg_flip = np.broadcast_to(is_or[:, None],
+                                   (level_size, branching)).copy()
+        inv_out = is_or.copy()
+        levels.append(LevelBlock(
+            prods=[ProdBlock(out_idx, arg_idx, arg_flip,
+                             np.ones((level_size, branching), dtype=bool),
+                             inv_out)],
+            pairs=[], counts=[]))
+        prev_start, prev_size = next_slot, level_size
+        next_slot += level_size
+        total_gates += level_size
+    return CompiledTree(
+        n_basic=n_basic, n_house=0, n_gates=total_gates,
+        basic_index={f"be{i}": i for i in range(n_basic)},
+        house_index={},
+        gate_index={f"g{i}": n_basic + i for i in range(total_gates)},
         levels=levels, basic_events=[], house_events=[], gates=[],
         top_index=next_slot - 1)

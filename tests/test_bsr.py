@@ -60,3 +60,25 @@ class TestBsr:
         tree.top_index = tree.gate_index["top"]
         with pytest.raises(LogicError):
             compile_bsr(tree)
+
+
+class TestHierarchicalStructure:
+    def test_hierarchy_cuts_fill_an_order_of_magnitude(self):
+        from canopy_tpu.utils.synthetic import synthetic_hierarchical_tree
+        hier = synthetic_hierarchical_tree(n_basic=16384, branching=4,
+                                           seed=1)
+        rand = synthetic_compiled_tree(n_basic=4096, n_gates=hier.n_gates,
+                                       fanin=4, n_levels=hier.depth, seed=1)
+        fill_h = compile_bsr(hier).fill_ratio
+        fill_r = compile_bsr(rand).fill_ratio
+        assert fill_h < fill_r / 5
+
+    def test_hierarchical_bsr_exact(self):
+        from canopy_tpu.utils.synthetic import synthetic_hierarchical_tree
+        tree = synthetic_hierarchical_tree(n_basic=1024, branching=4,
+                                           seed=2)
+        batch = jnp.asarray(np.random.default_rng(0).uniform(
+            0, 0.9, (64, tree.n_basic)), dtype=jnp.float32)
+        got = np.asarray(bsr_top_probability(compile_bsr(tree), batch))
+        expected = np.asarray(top_event_probability(tree, batch))
+        np.testing.assert_array_equal(got, expected)
