@@ -43,7 +43,8 @@ from ..errors import LogicError
 __all__ = ["compile_bsr", "bsr_arrays", "bsr_top_probability",
            "bsr_cost_report"]
 
-_BLOCK = 128
+_BLOCK = 128        # Column block (MXU contraction dim).
+_ROW_BLOCK = 8      # Row block (narrow rows cut fill on structured trees).
 _LOG_CLAMP = -1e4
 
 
@@ -55,7 +56,7 @@ class _BsrLevel:
     # Flattened (row_block, col_block) pairs:
     pair_rows: np.ndarray     # (P,) row-block index within the level
     pair_cols: np.ndarray     # (P,) col-block index into the doubled space
-    blocks: np.ndarray        # (P, 128, 128) f32 structure tiles
+    blocks: np.ndarray        # (P, ROW_BLOCK, 128) f32 structure tiles
     inv_out: np.ndarray       # (n_gates,) bool
 
 
@@ -73,7 +74,7 @@ class BsrProgram:
     @property
     def fill_ratio(self) -> float:
         """Stored tile entries per structural nonzero (the MXU waste)."""
-        return self.fill_blocks * _BLOCK * _BLOCK / max(self.nnz, 1)
+        return self.fill_blocks * _ROW_BLOCK * _BLOCK / max(self.nnz, 1)
 
 
 def compile_bsr(tree: CompiledTree) -> BsrProgram:
@@ -96,7 +97,7 @@ def compile_bsr(tree: CompiledTree) -> BsrProgram:
         out_start = min(int(b.out_idx[0]) for b in level.prods)
         n_gates = sum(b.n_gates for b in level.prods)
         inv_out = np.zeros(n_gates, dtype=bool)
-        n_row_blocks = -(-n_gates // _BLOCK)
+        n_row_blocks = -(-n_gates // _ROW_BLOCK)
         rows_list, cols_list = [], []
         for block in level.prods:
             rows_b = np.repeat(block.out_idx.astype(np.int64) - out_start,
@@ -109,12 +110,12 @@ def compile_bsr(tree: CompiledTree) -> BsrProgram:
             inv_out[block.out_idx - out_start] = block.inv_out
         rows = np.concatenate(rows_list)
         cols = np.concatenate(cols_list)
-        rb, r_in = np.divmod(rows, _BLOCK)
+        rb, r_in = np.divmod(rows, _ROW_BLOCK)
         cb, c_in = np.divmod(cols, _BLOCK)
         pair_key = rb * (2 * n_pad // _BLOCK) + cb
         unique_keys, pair_of_edge = np.unique(pair_key,
                                               return_inverse=True)
-        tiles = np.zeros((len(unique_keys), _BLOCK, _BLOCK),
+        tiles = np.zeros((len(unique_keys), _ROW_BLOCK, _BLOCK),
                          dtype=np.float32)
         np.add.at(tiles, (pair_of_edge, r_in, c_in), 1.0)
         levels.append(_BsrLevel(
@@ -197,7 +198,7 @@ def bsr_top_probability(program: BsrProgram, basic_p: jnp.ndarray,
                              preferred_element_type=dtype)
         y = jax.ops.segment_sum(partial, pair_rows,
                                 num_segments=level.n_row_blocks)
-        y = y.reshape(level.n_row_blocks * _BLOCK, T)[:level.n_gates]
+        y = y.reshape(level.n_row_blocks * _ROW_BLOCK, T)[:level.n_gates]
         prod = jnp.exp(y)
         out = jnp.where(inv_out[:, None], 1.0 - prod, prod)
         lo = level.out_start

@@ -79,12 +79,14 @@ class TestBsrVsScipy:
             # Rebuild the level structure matrix densely from blocks.
             block = lv.prods[0]
             G = level.n_gates
-            dense = np.zeros((level.n_row_blocks * 128,
+            from canopy_tpu.ops.bsr_propagate import _BLOCK, _ROW_BLOCK
+            dense = np.zeros((level.n_row_blocks * _ROW_BLOCK,
                               2 * program.n_pad))
             for p_i in range(len(level.pair_rows)):
-                r0 = level.pair_rows[p_i] * 128
-                c0 = level.pair_cols[p_i] * 128
-                dense[r0:r0 + 128, c0:c0 + 128] += level.blocks[p_i]
+                r0 = level.pair_rows[p_i] * _ROW_BLOCK
+                c0 = level.pair_cols[p_i] * _BLOCK
+                dense[r0:r0 + _ROW_BLOCK, c0:c0 + _BLOCK] += \
+                    level.blocks[p_i]
             # Oracle: direct edge accumulation.
             oracle = np.zeros_like(dense)
             for blk in lv.prods:
@@ -99,5 +101,6 @@ class TestBsrVsScipy:
                         oracle[row, col] += 1.0
             np.testing.assert_array_equal(dense, oracle)
             # And scipy's bsr conversion agrees on the block pattern.
-            bsr = sp.bsr_matrix(sp.csr_matrix(oracle), blocksize=(128, 128))
+            bsr = sp.bsr_matrix(sp.csr_matrix(oracle),
+                                blocksize=(_ROW_BLOCK, _BLOCK))
             assert bsr.data.shape[0] == len(level.pair_rows)
