@@ -216,26 +216,36 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - secondary metric only
         print(f"bench[mc-bitpacked] skipped: {exc}", file=sys.stderr)
 
-    # Tertiary: the BSR/MXU log-space engine on a locality-structured
-    # tree (real plant models have subsystem locality) vs the gather
-    # engine on the same tree.
+    # Tertiary: the BSR/MXU log-space engine after the locality
+    # reordering pass, on an adversarially *shuffled* hierarchical tree
+    # (models an input format whose slot assignment destroyed the
+    # plant's subsystem structure) vs the gather engine on the same
+    # tree.
     try:
         if time.perf_counter() - bench_start > budget_s:
             raise TimeoutError("budget exhausted")
+        from canopy_tpu.compiler.reorder import (locality_reorder,
+                                                 random_shuffle)
         from canopy_tpu.ops.bsr_propagate import (bsr_arrays,
                                                   bsr_cost_report,
                                                   bsr_top_probability,
-                                                  compile_bsr)
+                                                  compile_bsr,
+                                                  estimate_bsr_fill)
+        from canopy_tpu.utils.synthetic import synthetic_hierarchical_tree
 
-        locality = int(os.environ.get("BENCH_LOCALITY", "256"))
-        bsr_gates = min(n_gates, 50_000)
-        tree_l = synthetic_compiled_tree(
-            n_basic=4096, n_gates=bsr_gates, fanin=fanin, n_levels=12,
-            seed=0, locality=locality)
+        bsr_basics = int(os.environ.get("BENCH_BSR_BASICS", "262144"))
+        branching = int(os.environ.get("BENCH_BSR_BRANCHING", "8"))
+        shuffled = random_shuffle(synthetic_hierarchical_tree(
+            n_basic=bsr_basics, branching=branching, share_fraction=0.1,
+            n_shared=256, seed=0), seed=1).tree
+        fill_shuffled = estimate_bsr_fill(shuffled)
+        tree_l = locality_reorder(shuffled).tree
         program = compile_bsr(tree_l)
         bsr_params = jax.device_put(bsr_arrays(program))
         bsr_trials = min(n_trials, 512)
-        basic_p_bsr = basic_p[:bsr_trials, :tree_l.n_basic]
+        basic_p_bsr = jnp.asarray(
+            rng.uniform(0.0, 0.05, (bsr_trials, tree_l.n_basic)),
+            dtype=dtype)
 
         @jax.jit
         def repeat_bsr(basic_p, n_iter, params):
@@ -272,10 +282,11 @@ def main() -> None:
                       - timed_fn(repeat_gather_l, 2)) / iters, 1e-9)
         bsr_v = tree_l.nnz * bsr_trials / bsr_dt
         gat_v = tree_l.nnz * bsr_trials / gat_dt
-        print(f"bench[bsr locality={locality}]: {bsr_dt*1e3:.2f} ms "
-              f"({bsr_v/1e9:.2f} G/s, fill {program.fill_ratio:.0f}x) vs "
-              f"gather {gat_dt*1e3:.2f} ms ({gat_v/1e9:.2f} G/s) -> "
-              f"{gat_dt/bsr_dt:.2f}x", file=sys.stderr)
+        print(f"bench[bsr+reorder br={branching}]: {bsr_dt*1e3:.2f} ms "
+              f"({bsr_v/1e9:.2f} G/s, fill {fill_shuffled:.0f}x -> "
+              f"{program.fill_ratio:.0f}x) vs gather {gat_dt*1e3:.2f} ms "
+              f"({gat_v/1e9:.2f} G/s) -> {gat_dt/bsr_dt:.2f}x",
+              file=sys.stderr)
     except Exception as exc:  # pragma: no cover - tertiary metric only
         print(f"bench[bsr] skipped: {exc}", file=sys.stderr)
 

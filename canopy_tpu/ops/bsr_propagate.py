@@ -41,10 +41,17 @@ from ..compiler.graph import CompiledTree
 from ..errors import LogicError
 
 __all__ = ["compile_bsr", "bsr_arrays", "bsr_top_probability",
-           "bsr_cost_report"]
+           "bsr_cost_report", "estimate_bsr_fill"]
 
 _BLOCK = 128        # Column block (MXU contraction dim).
-_ROW_BLOCK = 8      # Row block (narrow rows cut fill on structured trees).
+# Default row block.  Wider row blocks amortize each gathered 128-column
+# slab over more gates (HBM floats/nnz at 8/32 on the reordered
+# branching-8 hierarchical bench: 9.5/5.0) but store proportionally
+# larger mostly-zero tiles (fill 76x/161x).  Measured on v5e: 6.30 vs
+# 7.98 G/s — the engine is overhead-bound at PRA level sizes, not
+# bandwidth-bound, so the narrow block keeps 2x memory for a ~21 % perf
+# cost; 128-row tiles are impractical (tile arrays reach hundreds of MB).
+_ROW_BLOCK = 8
 _LOG_CLAMP = -1e4
 
 
@@ -53,6 +60,7 @@ class _BsrLevel:
     out_start: int            # First gate slot of the level (contiguous).
     n_gates: int
     n_row_blocks: int
+    row_block: int
     # Flattened (row_block, col_block) pairs:
     pair_rows: np.ndarray     # (P,) row-block index within the level
     pair_cols: np.ndarray     # (P,) col-block index into the doubled space
@@ -69,15 +77,23 @@ class BsrProgram:
     top_index: int
     levels: list[_BsrLevel]
     nnz: int
-    fill_blocks: int          # Total 128x128 tiles stored.
+    fill_blocks: int          # Total (row_block x 128) tiles stored.
+    row_block: int = _ROW_BLOCK
 
     @property
     def fill_ratio(self) -> float:
         """Stored tile entries per structural nonzero (the MXU waste)."""
-        return self.fill_blocks * _ROW_BLOCK * _BLOCK / max(self.nnz, 1)
+        return self.fill_blocks * self.row_block * _BLOCK / max(self.nnz, 1)
+
+    @property
+    def hbm_floats_per_nnz(self) -> float:
+        """Gathered column-slab floats per nnz — the actual bandwidth
+        cost model (tile count x 128, NOT tile entries)."""
+        return self.fill_blocks * _BLOCK / max(self.nnz, 1)
 
 
-def compile_bsr(tree: CompiledTree) -> BsrProgram:
+def compile_bsr(tree: CompiledTree,
+                row_block: int = _ROW_BLOCK) -> BsrProgram:
     """Build the per-level BSR structure from a compiled tree.
 
     Requires prod-family-only levels (the benchmark/production fast path;
@@ -97,7 +113,7 @@ def compile_bsr(tree: CompiledTree) -> BsrProgram:
         out_start = min(int(b.out_idx[0]) for b in level.prods)
         n_gates = sum(b.n_gates for b in level.prods)
         inv_out = np.zeros(n_gates, dtype=bool)
-        n_row_blocks = -(-n_gates // _ROW_BLOCK)
+        n_row_blocks = -(-n_gates // row_block)
         rows_list, cols_list = [], []
         for block in level.prods:
             rows_b = np.repeat(block.out_idx.astype(np.int64) - out_start,
@@ -110,12 +126,12 @@ def compile_bsr(tree: CompiledTree) -> BsrProgram:
             inv_out[block.out_idx - out_start] = block.inv_out
         rows = np.concatenate(rows_list)
         cols = np.concatenate(cols_list)
-        rb, r_in = np.divmod(rows, _ROW_BLOCK)
+        rb, r_in = np.divmod(rows, row_block)
         cb, c_in = np.divmod(cols, _BLOCK)
         pair_key = rb * (2 * n_pad // _BLOCK) + cb
         unique_keys, pair_of_edge = np.unique(pair_key,
                                               return_inverse=True)
-        tiles = np.zeros((len(unique_keys), _ROW_BLOCK, _BLOCK),
+        tiles = np.zeros((len(unique_keys), row_block, _BLOCK),
                          dtype=np.float32)
         np.add.at(tiles, (pair_of_edge, r_in, c_in), 1.0)
         levels.append(_BsrLevel(
@@ -125,12 +141,13 @@ def compile_bsr(tree: CompiledTree) -> BsrProgram:
             .astype(np.int32),
             pair_cols=(unique_keys % (2 * n_pad // _BLOCK))
             .astype(np.int32),
-            blocks=tiles, inv_out=inv_out))
+            blocks=tiles, inv_out=inv_out, row_block=row_block))
         fill_blocks += len(unique_keys)
     return BsrProgram(n_nodes=tree.n_nodes, n_pad=n_pad,
                       n_basic=tree.n_basic,
                       n_house=tree.n_house, top_index=tree.top_index,
-                      levels=levels, nnz=tree.nnz, fill_blocks=fill_blocks)
+                      levels=levels, nnz=tree.nnz, fill_blocks=fill_blocks,
+                      row_block=row_block)
 
 
 def bsr_arrays(program: BsrProgram) -> list[tuple]:
@@ -198,7 +215,8 @@ def bsr_top_probability(program: BsrProgram, basic_p: jnp.ndarray,
                              preferred_element_type=dtype)
         y = jax.ops.segment_sum(partial, pair_rows,
                                 num_segments=level.n_row_blocks)
-        y = y.reshape(level.n_row_blocks * _ROW_BLOCK, T)[:level.n_gates]
+        y = y.reshape(level.n_row_blocks * level.row_block,
+                      T)[:level.n_gates]
         prod = jnp.exp(y)
         out = jnp.where(inv_out[:, None], 1.0 - prod, prod)
         lo = level.out_start
@@ -209,6 +227,33 @@ def bsr_top_probability(program: BsrProgram, basic_p: jnp.ndarray,
         L = jax.lax.dynamic_update_slice(L, new_l1, (n_pad + lo, 0))
     assert top_value is not None, "top gate not covered by any level"
     return top_value
+
+
+def estimate_bsr_fill(tree: CompiledTree,
+                      row_block: int = _ROW_BLOCK) -> float:
+    """The fill ratio :func:`compile_bsr` would produce, without
+    materializing any tile (used for ordering selection: the reorder
+    pass evaluates candidate permutations by this number)."""
+    n_pad = -(-tree.n_nodes // _BLOCK) * _BLOCK
+    tiles = 0
+    nnz = 0
+    for level in tree.levels:
+        if not level.prods:
+            continue
+        out_start = min(int(b.out_idx[0]) for b in level.prods)
+        keys = []
+        for block in level.prods:
+            rows_b = np.repeat(block.out_idx.astype(np.int64) - out_start,
+                               block.arg_idx.shape[1])
+            cols_b = block.arg_idx.astype(np.int64).reshape(-1)
+            cols_b = cols_b + np.where(block.arg_flip.reshape(-1), n_pad, 0)
+            keep = block.arg_mask.reshape(-1)
+            keys.append((rows_b[keep] // row_block)
+                        * (2 * n_pad // _BLOCK)
+                        + cols_b[keep] // _BLOCK)
+            nnz += int(keep.sum())
+        tiles += len(np.unique(np.concatenate(keys)))
+    return tiles * row_block * _BLOCK / max(nnz, 1)
 
 
 def bsr_cost_report(program: BsrProgram) -> dict:
