@@ -45,7 +45,8 @@ from ..mef.event import (BasicEvent, Connective, FALSE_EVENT, Formula, Gate,
                          HouseEvent, TRUE_EVENT)
 
 __all__ = ["CompiledTree", "LevelBlock", "ProdBlock", "PairBlock",
-           "CountBlock", "compile_fault_tree", "compile_gates"]
+           "CountBlock", "compile_fault_tree", "compile_gates",
+           "merge_prod_level"]
 
 _PROD_FAMILY = {Connective.AND, Connective.OR, Connective.NAND,
                 Connective.NOR, Connective.NULL, Connective.NOT,
@@ -385,6 +386,37 @@ def _build_count(rows, gate_slot, slot) -> CountBlock:
     cap = int(max_num.max()) + 1
     return CountBlock(out_idx, arg_idx, arg_neg, arg_mask, min_num, max_num,
                       cap)
+
+
+def merge_prod_level(level: LevelBlock) -> ProdBlock:
+    """Merge a level's fan-in-bucketed prod blocks into one padded ELL
+    block (rows stay slot-ordered; the level's output range stays
+    contiguous).  Raises for pair/count levels — callers that need the
+    prod-only fast path (BSR, pipeline, block-gather) share this.
+    """
+    if level.pairs or level.counts:
+        raise LogicError("level contains non-product-family gates")
+    blocks = [b for b in level.prods if b.n_gates]
+    if not blocks:
+        raise LogicError("level has no gates")
+    fan = max(b.arg_idx.shape[1] for b in blocks)
+    n = sum(b.n_gates for b in blocks)
+    out_start = min(int(b.out_idx[0]) for b in blocks)
+    arg_idx = np.zeros((n, fan), dtype=np.int32)
+    arg_flip = np.zeros((n, fan), dtype=bool)
+    arg_mask = np.zeros((n, fan), dtype=bool)
+    inv_out = np.zeros(n, dtype=bool)
+    for b in blocks:
+        rows = b.out_idx.astype(np.int64) - out_start
+        f = b.arg_idx.shape[1]
+        arg_idx[rows, :f] = b.arg_idx
+        arg_flip[rows, :f] = b.arg_flip
+        arg_mask[rows, :f] = b.arg_mask
+        inv_out[rows] = b.inv_out
+    return ProdBlock(
+        out_idx=np.arange(out_start, out_start + n, dtype=np.int32),
+        arg_idx=arg_idx, arg_flip=arg_flip, arg_mask=arg_mask,
+        inv_out=inv_out)
 
 
 def compile_fault_tree(fault_tree, top: Gate | None = None,

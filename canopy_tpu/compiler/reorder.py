@@ -283,6 +283,34 @@ def _rcm_perm(tree: CompiledTree) -> np.ndarray:
     return _perm_from_scores(tree, rank)
 
 
+def _consumer_counts(tree: CompiledTree) -> np.ndarray:
+    counts = np.zeros(tree.n_nodes, dtype=np.int64)
+    for _, block in _iter_blocks(tree):
+        _, cols = _masked_edges(block)
+        np.add.at(counts, cols, 1)
+    return counts
+
+
+def _hot_first_perm(tree: CompiledTree, threshold: int = 2) -> np.ndarray:
+    """Stable-group multi-consumer ("hot") basic events at the front of
+    the basics range.
+
+    Shared events are referenced from chunks all over the matrix;
+    first-use placement puts each next to ONE consumer and leaves every
+    other reference far away, inflating the block-gather kernel's
+    per-chunk DMA spans.  Pulling them into a compact leading region
+    lets a handful of resident slabs cover all of them, so the
+    remaining (single-consumer) arguments keep their tight DFS ranges.
+    Gates are NOT moved: relocating a gate for its consumers' benefit
+    scatters its own argument range (measured: spans get worse)."""
+    counts = _consumer_counts(tree)
+    cold = (counts[:tree.n_basic] < threshold).astype(np.int8)
+    perm = np.arange(tree.n_nodes, dtype=np.int64)
+    order_b = np.argsort(cold, kind="stable")
+    perm[order_b] = np.arange(tree.n_basic)
+    return perm
+
+
 def _flip_group_perm(tree: CompiledTree) -> np.ndarray:
     """Within each block, stable-group gates by flip majority.
 
@@ -306,7 +334,8 @@ def _flip_group_perm(tree: CompiledTree) -> np.ndarray:
 
 def locality_reorder(tree: CompiledTree, sweeps: int = 0,
                      method: str = "first_use",
-                     group_flips: bool = True) -> ReorderedTree:
+                     group_flips: bool = False,
+                     hot_first: bool = False) -> ReorderedTree:
     """Reorder ``tree`` for argument locality.
 
     ``method``:
@@ -325,8 +354,12 @@ def locality_reorder(tree: CompiledTree, sweeps: int = 0,
     they are kept for banded/irregular graphs where they can help.
 
     ``group_flips`` appends the flip-majority grouping pass (see
-    :func:`_flip_group_perm`) — a BSR-fill win, neutral for the gather
-    engine.
+    :func:`_flip_group_perm`) — a ~20 % BSR-fill win but it interleaves
+    subtree runs and inflates the block-gather kernel's DMA spans ~18x
+    (measured), so it is opt-in for BSR users only.  ``hot_first``
+    applies the multi-consumer grouping pass right after the base
+    ordering (see :func:`_hot_first_perm`) — required by the
+    block-gather kernel's resident-slab scheme.
 
     Results of propagation are bit-identical to the input tree (see
     module docstring); only slot numbering — and therefore BSR fill,
@@ -336,7 +369,8 @@ def locality_reorder(tree: CompiledTree, sweeps: int = 0,
         from ..ops.bsr_propagate import estimate_bsr_fill
 
         candidates = [locality_reorder(tree, sweeps=sweeps, method=m,
-                                       group_flips=group_flips)
+                                       group_flips=group_flips,
+                                       hot_first=hot_first)
                       for m in ("first_use", "rcm")]
         return min(candidates,
                    key=lambda r: estimate_bsr_fill(r.tree))
@@ -348,6 +382,11 @@ def locality_reorder(tree: CompiledTree, sweeps: int = 0,
         raise ValueError(f"unknown reorder method: {method!r}")
     current = apply_permutation(tree, perm)
     total_perm = perm
+
+    if hot_first:
+        perm = _hot_first_perm(current)
+        current = apply_permutation(current, perm)
+        total_perm = perm[total_perm]
 
     for _ in range(max(sweeps, 0)):
         # Downward: nodes follow their consumers.

@@ -188,16 +188,31 @@ def make_propagator(tree: CompiledTree, output: str = "top",
 
     ``output``: "top" for the top-event scalar, "all" for the full value
     vector. ``engine``: "gather" (this module), "fused" (the
-    whole-tree-in-VMEM Pallas kernel; TPU only, top output only), or
-    "auto" — fused when the tree fits VMEM on a TPU backend, else
-    gather. One compilation serves any number of probability vectors
-    (time steps, uncertainty trials, importance grads; grads require the
+    whole-tree-in-VMEM Pallas kernel; TPU only, top output only),
+    "block" (the slab-DMA block-gather kernel for big locality-ordered
+    trees; TPU only, top output, T % 128 == 0), or "auto" — fused when
+    the tree fits VMEM on a TPU backend, else gather. The block engine
+    is opt-in: measured on v5e it trails the XLA gather engine (its
+    one-hot selection matmul is FLOP-redundant; docs/BENCHMARKS.md).
+    One compilation serves any number of probability vectors (time
+    steps, uncertainty trials, importance grads; grads require the
     gather engine).
     """
     if engine == "auto" and output == "top":
         from ..ops.pallas_kernels import fused_supported
         engine = "fused" if (jax.default_backend() == "tpu"
                              and fused_supported(tree)) else "gather"
+    if engine == "block":
+        from ..ops.block_gather import (block_gather_propagate,
+                                        compile_block_gather)
+
+        if output != "top":
+            raise ValueError("the block engine only produces the top value")
+        program = compile_block_gather(tree)
+
+        def fn(basic_p, house_states=None):
+            return block_gather_propagate(program, basic_p)
+        return jax.jit(fn)
     if engine == "fused":
         if output != "top":
             raise ValueError("the fused engine only produces the top value")

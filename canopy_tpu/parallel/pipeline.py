@@ -76,25 +76,12 @@ class _LevelCode:
 
 
 def _merge_level(level) -> _LevelCode:
-    if level.pairs or level.counts:
-        raise LogicError(
-            "pipeline propagation supports product-family levels only")
-    blocks = [b for b in level.prods if b.n_gates]
-    fan = max(b.arg_idx.shape[1] for b in blocks)
-    n = sum(b.n_gates for b in blocks)
-    out_start = min(int(b.out_idx[0]) for b in blocks)
-    arg_idx = np.zeros((n, fan), dtype=np.int32)
-    arg_flip = np.zeros((n, fan), dtype=bool)
-    arg_mask = np.zeros((n, fan), dtype=bool)
-    inv_out = np.zeros(n, dtype=bool)
-    for b in blocks:
-        rows = b.out_idx.astype(np.int64) - out_start
-        f = b.arg_idx.shape[1]
-        arg_idx[rows, :f] = b.arg_idx
-        arg_flip[rows, :f] = b.arg_flip
-        arg_mask[rows, :f] = b.arg_mask
-        inv_out[rows] = b.inv_out
-    return _LevelCode(out_start, n, arg_idx, arg_flip, arg_mask, inv_out)
+    from ..compiler.graph import merge_prod_level
+
+    merged = merge_prod_level(level)
+    return _LevelCode(int(merged.out_idx[0]), merged.n_gates,
+                      merged.arg_idx, merged.arg_flip, merged.arg_mask,
+                      merged.inv_out)
 
 
 def plan_stages(tree: CompiledTree, n_stages: int) -> list[list[_LevelCode]]:
