@@ -65,7 +65,48 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "16"))
 
     # Production-model scale FIRST (fast compile -> the contract line is
-    # never starved): the fused whole-tree-in-VMEM Pallas kernel.
+    # never starved): the full-VPU tiled fused kernel, then the lane-row
+    # fused kernel.
+    tiled_value = 0.0
+    try:
+        from canopy_tpu.ops.pallas_kernels import fused_propagate_tiled
+
+        tiled_gates = int(os.environ.get("BENCH_TILED_GATES", "2048"))
+        tiled_trials = int(os.environ.get("BENCH_TILED_TRIALS", "8192"))
+        tree_t = synthetic_compiled_tree(n_basic=1024, n_gates=tiled_gates,
+                                         fanin=8, n_levels=8, seed=0)
+        basic_t = jnp.asarray(
+            rng.uniform(0.0, 0.05, (tiled_trials, tree_t.n_basic)),
+            dtype=dtype)
+        no_house_t = np.zeros(0, np.float32)
+
+        @jax.jit
+        def repeat_tiled(p, n_iter):
+            def body(i, acc):
+                out = fused_propagate_tiled(tree_t, p * (1.0 + 1e-7 * i),
+                                            no_house_t)
+                return acc + out.sum()
+            return jax.lax.fori_loop(0, n_iter, body,
+                                     jnp.asarray(0.0, dtype))
+
+        def timed_tiled(n_iter):
+            float(repeat_tiled(basic_t, n_iter))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(repeat_tiled(basic_t, n_iter))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        tiled_dt = max((timed_tiled(2 + iters) - timed_tiled(2)) / iters,
+                       1e-9)
+        tiled_value = tree_t.nnz * tiled_trials / tiled_dt
+        print(f"bench[fused-tiled {tiled_gates}g]: {tiled_dt*1e3:.3f} ms/"
+              f"iter, {tiled_value/1e9:.2f} Gnnz*trials/s",
+              file=sys.stderr)
+    except Exception as exc:
+        print(f"bench[fused-tiled] skipped: {exc}", file=sys.stderr)
+
     fused_value = 0.0
     try:
         from canopy_tpu.ops.pallas_kernels import fused_propagate
@@ -154,9 +195,10 @@ def main() -> None:
           f"{roofline/1e9:.2f} G/s, fraction "
           f"{gather_value/roofline:.3f}", file=sys.stderr)
 
-    value = max(gather_value, fused_value)
+    value = max(gather_value, fused_value, tiled_value)
     vs_baseline = value / roofline
-    engine = "fused-vmem" if fused_value > gather_value else "gather"
+    engine = {gather_value: "gather", fused_value: "fused-vmem",
+              tiled_value: "fused-tiled"}[value]
     print(f"bench: best engine = {engine}, {value/1e9:.2f} Gnnz*trials/s, "
           f"{vs_baseline:.3f} of the gather-formulation HBM roofline "
           f"(>1 = the fused kernel eliminated that traffic)",

@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..compiler.graph import CompiledTree
 
-__all__ = ["packed_bernoulli", "fused_propagate"]
+__all__ = ["packed_bernoulli", "fused_propagate", "fused_propagate_tiled",
+           "fused_tiled_supported"]
 
 
 # ---------------------------------------------------------------------------
@@ -237,3 +238,113 @@ def fused_propagate(tree: CompiledTree, basic_p: jnp.ndarray,
             interpret=interpret,
         )(basic_p.astype(jnp.float32).T)
     return out[0]
+
+
+# ---------------------------------------------------------------------------
+# Fused propagation with (8, 128) trial tiles per node.
+# ---------------------------------------------------------------------------
+
+_TILE_TRIALS = 1024  # 8 sublanes x 128 lanes per node tile.
+
+
+def fused_tiled_supported(tree: CompiledTree) -> bool:
+    """True when every node can hold a full (8, 128) f32 trial tile in
+    the fused kernel's VMEM budget (~3k nodes)."""
+    return (tree.n_gates + tree.n_basic) * _TILE_TRIALS * 4 \
+        <= _FUSED_VMEM_BUDGET
+
+
+def fused_propagate_tiled(tree: CompiledTree, basic_p: jnp.ndarray,
+                          house_states: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
+    """:func:`fused_propagate` with full-VPU node tiles.
+
+    The plain fused kernel computes each gate on a (1, block_trials)
+    lane row — one of the VPU's eight sublanes.  Here every node's
+    working value is a whole (8, 128) register tile (1024 trials per
+    grid step), so each multiply runs the VPU at full width: ~8x the
+    arithmetic throughput for trees small enough that every node can
+    afford a 4 KB tile (~3k nodes; real Aralia-class PRA models are
+    well inside).  Requires ``n_trials % 1024 == 0``; `make_propagator`
+    dispatches here when shapes allow.
+    """
+    if not fused_tiled_supported(tree):
+        raise ValueError(
+            f"tree ({tree.n_gates} gates + {tree.n_basic} basics) "
+            "exceeds the tiled fused kernel's VMEM budget")
+    n_trials, n_basic = basic_p.shape
+    if n_trials % _TILE_TRIALS:
+        raise ValueError("tiled fused kernel needs n_trials % 1024 == 0")
+    ops = _emit_gate_ops(tree)
+    house = np.asarray(house_states, dtype=np.float32)
+    n_tiles = n_trials // _TILE_TRIALS
+
+    def kernel(p_ref, out_ref, scratch):
+        n_b = tree.n_basic
+
+        def read(slot):
+            if slot < n_b:
+                return p_ref[0, slot]                    # (8, 128)
+            if slot < n_b + tree.n_house:
+                return jnp.full((8, 128), house[slot - n_b],
+                                dtype=jnp.float32)
+            return scratch[slot - n_b - tree.n_house]
+
+        for kind, out_slot, args, aux in ops:
+            if kind == "prod":
+                acc = None
+                for slot, flip in args:
+                    v = read(slot)
+                    x = 1.0 - v if flip else v
+                    acc = x if acc is None else acc * x
+                value = 1.0 - acc if aux else acc
+            elif kind == "pair":
+                (s0, n0), (s1, n1) = args
+                a = read(s0)
+                b = read(s1)
+                if n0:
+                    a = 1.0 - a
+                if n1:
+                    b = 1.0 - b
+                x = a + b - 2.0 * a * b
+                value = 1.0 - x if aux else x
+            else:  # count
+                lo, hi = aux
+                cap = hi + 1
+                dp = [jnp.ones((8, 128), dtype=jnp.float32)] + \
+                     [jnp.zeros((8, 128), dtype=jnp.float32)
+                      for _ in range(cap)]
+                for slot, neg in args:
+                    v = read(slot)
+                    if neg:
+                        v = 1.0 - v
+                    new = [dp[0] * (1.0 - v)]
+                    for k in range(1, cap):
+                        new.append(dp[k] * (1.0 - v) + dp[k - 1] * v)
+                    new.append(dp[cap] + dp[cap - 1] * v)
+                    dp = new[:cap] + [new[cap]]
+                value = sum(dp[k] for k in range(lo, hi + 1))
+            scratch[out_slot - n_b - tree.n_house] = value
+
+        out_ref[0] = scratch[tree.top_index - n_b - tree.n_house]
+
+    # Host layout: (n_tiles, n_basic, 8, 128) — tile-major so each grid
+    # step reads one contiguous block.
+    p_tiled = basic_p.astype(jnp.float32).T.reshape(
+        n_basic, n_tiles, 8, 128).transpose(1, 0, 2, 3)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec((1, n_basic, 8, 128),
+                                   lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128),
+                                           jnp.float32),
+            scratch_shapes=[pltpu.VMEM((tree.n_gates, 8, 128),
+                                       jnp.float32)],
+            interpret=interpret,
+        )(p_tiled)
+    return out.reshape(n_trials)

@@ -92,3 +92,31 @@ class TestFusedPropagate:
         expected = top_event_probability(tree, jnp.asarray(states))
         np.testing.assert_array_equal(np.asarray(got),
                                       np.asarray(expected))
+
+
+class TestFusedPropagateTiled:
+    def test_matches_plain_fused(self):
+        from canopy_tpu.ops.pallas_kernels import fused_propagate_tiled
+
+        tree = build_tree()
+        rng = np.random.default_rng(2)
+        batch = jnp.asarray(
+            rng.uniform(0, 1, (1024, tree.n_basic)).astype(np.float32))
+        got = fused_propagate_tiled(tree, batch,
+                                    tree.house_state_vector(),
+                                    interpret=True)
+        expected = fused_propagate(tree, batch,
+                                   tree.house_state_vector(),
+                                   interpret=True)
+        # Same multiplies, different tile shape: bit-identical.
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.asarray(expected))
+
+    def test_rejects_ragged_trials(self):
+        from canopy_tpu.ops.pallas_kernels import fused_propagate_tiled
+
+        tree = build_tree()
+        with pytest.raises(ValueError):
+            fused_propagate_tiled(tree, jnp.zeros((500, tree.n_basic)),
+                                  tree.house_state_vector(),
+                                  interpret=True)
