@@ -216,6 +216,61 @@ def main() -> None:
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "360"))
     bench_start = time.perf_counter()
 
+    # Secondary: the streaming (register-allocated) kernel on a
+    # hierarchical plant-shaped tree too big for VMEM residency — the
+    # structured-big-tree engine, compared against the gather engine on
+    # the same cone.
+    try:
+        from canopy_tpu.ops.stream_kernel import (compile_stream,
+                                                  stage_basic,
+                                                  stream_propagate_staged)
+        from canopy_tpu.utils.synthetic import synthetic_hierarchical_tree
+
+        s_basics = int(os.environ.get("BENCH_STREAM_BASICS", "65536"))
+        s_trials = int(os.environ.get("BENCH_STREAM_TRIALS", "2048"))
+        tree_s = synthetic_hierarchical_tree(
+            n_basic=s_basics, branching=8, share_fraction=0.1,
+            n_shared=256, seed=0)
+        program_s = compile_stream(tree_s)
+        basic_s = jnp.asarray(
+            rng.uniform(0.0, 0.05, (s_trials, tree_s.n_basic)), dtype)
+        staged = jax.jit(lambda p: stage_basic(program_s, p))(basic_s)
+        house_s = np.zeros(0, np.float32)
+
+        # The kernel carries has_side_effects (XLA cannot hoist it out
+        # of the loop), so no per-iteration input perturbation is
+        # needed — perturbing would copy the staged array each iter and
+        # mask the kernel. The DMA floor check below guards the timing.
+        @jax.jit
+        def repeat_stream(s, n_iter):
+            def body(i, acc):
+                v = stream_propagate_staged(program_s, s, house_s)
+                return acc + v.sum()
+            return jax.lax.fori_loop(0, n_iter, body,
+                                     jnp.asarray(0.0, dtype))
+
+        def timed_stream(n_iter):
+            float(repeat_stream(staged, n_iter))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(repeat_stream(staged, n_iter))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        s_dt = max((timed_stream(2 + iters) - timed_stream(2)) / iters,
+                   1e-9)
+        s_value = program_s.nnz * s_trials / s_dt
+        dma_bytes = (program_s.n_chunks * program_s.chunk_tiles
+                     * (s_trials // 1024) * 4096)
+        print(f"bench[stream {tree_s.n_gates}g hier]: {s_dt*1e3:.3f} ms/"
+              f"iter, {s_value/1e9:.2f} Gnnz*trials/s, DMA "
+              f"{dma_bytes/1e6:.0f} MB -> {dma_bytes/1e9/s_dt:.0f} GB/s "
+              f"({dma_bytes/1e9/s_dt/(_hbm_bandwidth_bytes()/1e9):.2f} of "
+              "HBM)", file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - secondary metric only
+        print(f"bench[stream] skipped: {exc}", file=sys.stderr)
+
     # Secondary: the bit-packed Boolean MC engine (32 trials per uint32
     # word) on the same structure — the aleatory-simulation headline.
     try:

@@ -182,26 +182,92 @@ def top_event_probability(tree: CompiledTree, basic_p: jnp.ndarray,
     return jnp.reshape(vals[tree.top_index], batch_shape)
 
 
+def _build_house(tree: CompiledTree,
+                 house_states: np.ndarray | None) -> np.ndarray:
+    if house_states is None:
+        return tree.house_state_vector()
+    return np.asarray(house_states, dtype=np.float64)
+
+
 def make_propagator(tree: CompiledTree, output: str = "top",
-                    engine: str = "auto"):
+                    engine: str = "auto",
+                    house_states: np.ndarray | None = None):
     """A jitted closure ``f(basic_p, house_states) -> prob``.
+
+    ``house_states`` fixes the house-event vector at build time (default:
+    the tree's current states). The kernel engines (fused/stream/block)
+    bake it into the compiled program; only the gather engine honors a
+    per-call override.
 
     ``output``: "top" for the top-event scalar, "all" for the full value
     vector. ``engine``: "gather" (this module), "fused" (the
     whole-tree-in-VMEM Pallas kernel; TPU only, top output only),
+    "stream" (the register-allocated streaming kernel for structured
+    trees beyond VMEM; TPU only, top output, T % 1024 == 0),
     "block" (the slab-DMA block-gather kernel for big locality-ordered
     trees; TPU only, top output, T % 128 == 0), or "auto" — fused when
-    the tree fits VMEM on a TPU backend, else gather. The block engine
-    is opt-in: measured on v5e it trails the XLA gather engine (its
-    one-hot selection matmul is FLOP-redundant; docs/BENCHMARKS.md).
-    One compilation serves any number of probability vectors (time
-    steps, uncertainty trials, importance grads; grads require the
-    gather engine).
+    the tree fits VMEM on a TPU backend, stream when a streaming
+    schedule exists (live set fits the VMEM pool), else gather. The
+    block engine is opt-in: measured on v5e it trails the XLA gather
+    engine (its one-hot selection matmul is FLOP-redundant;
+    docs/BENCHMARKS.md). One compilation serves any number of
+    probability vectors (time steps, uncertainty trials, importance
+    grads; grads require the gather engine).
     """
-    if engine == "auto" and output == "top":
-        from ..ops.pallas_kernels import fused_supported
-        engine = "fused" if (jax.default_backend() == "tpu"
-                             and fused_supported(tree)) else "gather"
+    if engine == "auto" and output == "top" \
+            and jax.default_backend() == "tpu":
+        from ..errors import LogicError
+        from ..ops.pallas_kernels import (fused_propagate,
+                                          fused_propagate_tiled,
+                                          fused_supported,
+                                          fused_tiled_supported)
+        from ..ops.stream_kernel import compile_stream, stream_propagate
+
+        tiled_ok = fused_tiled_supported(tree)
+        fused_ok = fused_supported(tree)
+        program = None
+        if not tiled_ok:
+            try:
+                program = compile_stream(tree)
+            except LogicError:
+                pass
+        if not (tiled_ok or fused_ok or program is not None):
+            engine = "gather"
+        else:
+            house = _build_house(tree, house_states)
+
+            def fn(basic_p):
+                # Static shapes under jit: full-VPU tiles when the
+                # trial count sits on the (8, 128) grid — whole tree
+                # resident if it fits, streamed through the VMEM pool
+                # otherwise — then the lane-row fused kernel, then
+                # gather.
+                on_grid = basic_p.shape[0] % 1024 == 0
+                if tiled_ok and on_grid:
+                    return fused_propagate_tiled(tree, basic_p, house)
+                if program is not None and on_grid:
+                    return stream_propagate(program, basic_p, house)
+                if fused_ok:
+                    return fused_propagate(tree, basic_p, house)
+                return top_event_probability(tree, basic_p,
+                                             jnp.asarray(house))
+            return jax.jit(fn)
+    if engine == "stream":
+        from ..ops.stream_kernel import compile_stream, stream_propagate
+
+        if output != "top":
+            raise ValueError("the stream engine only produces the top value")
+        program = compile_stream(tree)
+        house = _build_house(tree, house_states)
+
+        def fn(basic_p, house_states=None):
+            # Shapes are static under jit; trial counts off the tile
+            # grid fall back to the gather engine.
+            if basic_p.shape[0] % 1024 == 0:
+                return stream_propagate(program, basic_p, house)
+            return top_event_probability(tree, basic_p,
+                                         jnp.asarray(house))
+        return jax.jit(fn)
     if engine == "block":
         from ..ops.block_gather import (block_gather_propagate,
                                         compile_block_gather)
@@ -222,7 +288,7 @@ def make_propagator(tree: CompiledTree, output: str = "top",
 
         # House states fold into the kernel (static) — rebuild the
         # propagator to change them.
-        house = tree.house_state_vector()
+        house = _build_house(tree, house_states)
         tiled_ok = fused_tiled_supported(tree)
 
         def fn(basic_p):
@@ -233,10 +299,15 @@ def make_propagator(tree: CompiledTree, output: str = "top",
                 return fused_propagate_tiled(tree, basic_p, house)
             return fused_propagate(tree, basic_p, house)
         return jax.jit(fn)
+    baked = _build_house(tree, house_states)
     if output == "top":
-        fn = functools.partial(top_event_probability, tree)
+        def fn(basic_p, house_states=None):
+            h = jnp.asarray(baked) if house_states is None else house_states
+            return top_event_probability(tree, basic_p, h)
     else:
-        fn = functools.partial(propagate_probability, tree)
+        def fn(basic_p, house_states=None):
+            h = jnp.asarray(baked) if house_states is None else house_states
+            return propagate_probability(tree, basic_p, h)
     return jax.jit(fn)
 
 

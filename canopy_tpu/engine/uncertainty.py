@@ -19,7 +19,7 @@ import numpy as np
 
 from ..compiler.expr_tape import ExpressionTape
 from ..compiler.graph import CompiledTree
-from .propagate import propagate_probability
+from .propagate import make_propagator
 
 __all__ = ["UncertaintyResult", "uncertainty_analysis", "sample_basic_probabilities"]
 
@@ -66,14 +66,16 @@ def uncertainty_analysis(tree: CompiledTree, tape: ExpressionTape, key,
     """
     if house_states is None:
         house_states = jnp.asarray(tree.house_state_vector())
+    if top_fn is None:
+        # Engine auto-dispatch (fused/stream kernels on TPU, gather
+        # elsewhere) with the analysis' house states baked in.
+        top_fn = make_propagator(tree, output="top",
+                                 house_states=np.asarray(house_states))
 
     def run_batch(batch_key, batch_trials: int) -> jnp.ndarray:
         p = sample_basic_probabilities(tape, batch_key, batch_trials,
                                        mission_time)
-        if top_fn is not None:
-            return top_fn(p)
-        vals = propagate_probability(tree, p, house_states)
-        return vals[..., tree.top_index]
+        return top_fn(p)
 
     if batch_size is None or batch_size >= n_trials:
         tops = run_batch(key, n_trials)

@@ -1,0 +1,198 @@
+"""Streaming fused-tiled propagation: full-VPU tiles at any tree size.
+
+Executes a :class:`~canopy_tpu.compiler.schedule.StreamProgram` — gates in
+depth-first order over a linear-scan-allocated VMEM pool, basic-event
+tiles streamed from HBM in double-buffered chunk DMAs (see
+``compiler/schedule.py``).  Every value is a whole (8, 128) f32 trial
+tile, so each gate op runs the VPU at full width like
+``fused_propagate_tiled``, but VMEM holds only the *live set* (pool) plus
+two staging chunks instead of the whole tree: trees of tens of thousands
+of nodes stream at the tiled kernel's arithmetic rate while HBM sees the
+streaming optimum — each basic tile read once, one output tile written —
+overlapped with compute by the chunk prefetch.
+
+Gate math is identical (same ops, same order) to the fused kernels and
+the gather engine, so results are bit-exact across all three.
+
+This kernel is the TPU-shaped replacement for the reference's absent
+``src/bool/bool`` data-parallel evaluator (SURVEY.md §2.6) at
+production-model scale; interpret-mode tests cover it on CPU
+(``tests/test_stream_kernel.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..compiler.graph import CompiledTree
+from ..compiler.schedule import StreamProgram, build_stream_schedule
+from ..errors import LogicError
+
+__all__ = ["stream_propagate", "stream_propagate_staged", "stage_basic",
+           "stream_supported", "compile_stream"]
+
+_TILE_TRIALS = 1024  # 8 sublanes x 128 lanes per node tile.
+
+
+def compile_stream(tree: CompiledTree,
+                   chunk_tiles: int = 256) -> StreamProgram:
+    """Schedule ``tree`` for streaming (raises ``LogicError`` if it
+    cannot fit — callers fall back to the gather engine)."""
+    return build_stream_schedule(tree, chunk_tiles=chunk_tiles)
+
+
+def stream_supported(tree: CompiledTree, chunk_tiles: int = 256) -> bool:
+    """True when a streaming schedule exists for ``tree``."""
+    try:
+        build_stream_schedule(tree, chunk_tiles=chunk_tiles)
+    except LogicError:
+        return False
+    return True
+
+
+def _stream_kernel(p_ref, out_ref, stage, pool, sems, *,
+                   program: StreamProgram, house: np.ndarray):
+    i = pl.program_id(0)
+    nbp = program.n_basic_pad
+    ct = program.chunk_tiles
+
+    def copy(c, buf):
+        return pltpu.make_async_copy(
+            p_ref.at[pl.ds(i * nbp + c * ct, ct)], stage.at[buf],
+            sems.at[buf])
+
+    def read(loc):
+        tag = loc[0]
+        if tag == "pool":
+            return pool[loc[1]]
+        if tag == "stage":
+            return stage[loc[1], loc[2]]
+        return jnp.full((8, 128), float(house[loc[1]]), dtype=jnp.float32)
+
+    for op in program.ops:
+        tag = op[0]
+        if tag == "start":
+            copy(op[1], op[2]).start()
+        elif tag == "wait":
+            copy(op[1], op[2]).wait()
+        elif tag == "spill":
+            pool[op[3]] = stage[op[1], op[2]]
+        else:  # ("gate", kind, out_slot, locs, aux)
+            _tag, kind, out_slot, locs, aux = op
+            if kind == "prod":
+                acc = None
+                for loc, flip in locs:
+                    v = read(loc)
+                    x = 1.0 - v if flip else v
+                    acc = x if acc is None else acc * x
+                value = 1.0 - acc if aux else acc
+            elif kind == "pair":
+                (l0, n0), (l1, n1) = locs
+                a = read(l0)
+                b = read(l1)
+                if n0:
+                    a = 1.0 - a
+                if n1:
+                    b = 1.0 - b
+                x = a + b - 2.0 * a * b
+                value = 1.0 - x if aux else x
+            else:  # count: Poisson-binomial DP, statically unrolled.
+                lo, hi = aux
+                cap = hi + 1
+                dp = [jnp.ones((8, 128), dtype=jnp.float32)] + \
+                     [jnp.zeros((8, 128), dtype=jnp.float32)
+                      for _ in range(cap)]
+                for loc, neg in locs:
+                    v = read(loc)
+                    if neg:
+                        v = 1.0 - v
+                    new = [dp[0] * (1.0 - v)]
+                    for k in range(1, cap):
+                        new.append(dp[k] * (1.0 - v) + dp[k - 1] * v)
+                    new.append(dp[cap] + dp[cap - 1] * v)
+                    dp = new[:cap] + [new[cap]]
+                value = sum(dp[k] for k in range(lo, hi + 1))
+            pool[out_slot] = value
+
+    out_ref[0] = pool[program.top_slot]
+
+
+def stage_basic(program: StreamProgram,
+                basic_p: jnp.ndarray) -> jnp.ndarray:
+    """(n_trials, n_basic) -> the staged HBM layout the kernel streams.
+
+    Staging order, padded, tile-major — each chunk DMA is one contiguous
+    (chunk_tiles, 8, 128) block.  Stage once, then run
+    :func:`stream_propagate_staged` any number of times (time steps,
+    house configurations): the transform reads the full input matrix, so
+    re-staging per call would dominate the kernel itself.
+    """
+    n_trials, n_basic = basic_p.shape
+    if n_basic != program.n_basic:
+        raise LogicError("basic_p width does not match the program")
+    if n_trials % _TILE_TRIALS:
+        raise LogicError("stream kernel needs n_trials % 1024 == 0")
+    n_tiles = n_trials // _TILE_TRIALS
+    nbp = program.n_basic_pad
+    bp = basic_p.astype(jnp.float32)[:, jnp.asarray(program.basic_perm)].T
+    bp = jnp.pad(bp, ((0, nbp - n_basic), (0, 0)))
+    return bp.reshape(nbp, n_tiles, 8, 128).transpose(1, 0, 2, 3) \
+        .reshape(n_tiles * nbp, 8, 128)
+
+
+def stream_propagate(program: StreamProgram, basic_p: jnp.ndarray,
+                     house_states: np.ndarray | jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    """(n_trials, n_basic) -> (n_trials,) top-event values.
+
+    ``n_trials`` must be a multiple of 1024 (one (8, 128) tile per grid
+    step).  ``house_states`` folds in as compile-time constants, like the
+    fused kernels.  Convenience wrapper: stages then runs; hot loops
+    should :func:`stage_basic` once and call
+    :func:`stream_propagate_staged`.
+    """
+    return stream_propagate_staged(program, stage_basic(program, basic_p),
+                                   house_states, interpret=interpret)
+
+
+def stream_propagate_staged(program: StreamProgram, staged: jnp.ndarray,
+                            house_states: np.ndarray | jnp.ndarray,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Run the streaming kernel on an already-staged basic matrix."""
+    nbp = program.n_basic_pad
+    if staged.ndim != 3 or staged.shape[0] % nbp \
+            or staged.shape[1:] != (8, 128):
+        raise LogicError("staged layout does not match the program")
+    n_tiles = staged.shape[0] // nbp
+    n_trials = n_tiles * _TILE_TRIALS
+    house = np.asarray(house_states, dtype=np.float32)
+    bp = staged
+
+    bufs = max(min(program.n_chunks, 2), 1)
+    kernel = functools.partial(_stream_kernel, program=program,
+                               house=house)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((bufs, program.chunk_tiles, 8, 128),
+                           jnp.float32),
+                pltpu.VMEM((max(program.pool_slots, 1), 8, 128),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA((bufs,)),
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=(pltpu.InterpretParams() if interpret else False),
+        )(bp)
+    return out.reshape(n_trials)

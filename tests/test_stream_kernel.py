@@ -1,0 +1,179 @@
+"""Streaming fused-tiled kernel: schedule + interpret-mode execution.
+
+The schedule (``compiler/schedule.py``) is pure host code; the kernel
+runs in Pallas interpret mode on CPU with TPU DMA semantics, compared
+against the gather engine (``engine/propagate``) which is itself tested
+against brute-force oracles.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from canopy_tpu.compiler.graph import compile_gates
+from canopy_tpu.compiler.schedule import build_stream_schedule
+from canopy_tpu.engine.propagate import top_event_probability
+from canopy_tpu.errors import LogicError
+from canopy_tpu.mef.event import (Arg, BasicEvent, Connective, Formula,
+                                  Gate, HouseEvent)
+from canopy_tpu.mef.expr import ConstantExpression
+from canopy_tpu.ops.stream_kernel import (compile_stream, stream_propagate,
+                                          stream_supported)
+from canopy_tpu.utils.synthetic import (synthetic_compiled_tree,
+                                        synthetic_mef_tree)
+
+
+def mixed_tree(n_house=1):
+    """Small tree with sharing, complements, house, pair and count gates."""
+    events = []
+    for i, p in enumerate([0.1, 0.3, 0.5, 0.2, 0.4, 0.6, 0.25, 0.35]):
+        e = BasicEvent(f"e{i}")
+        e.expression = ConstantExpression(p)
+        events.append(e)
+    houses = []
+    for i in range(n_house):
+        h = HouseEvent(f"h{i}")
+        h.state = bool(i % 2)
+        houses.append(h)
+    g1 = Gate("g1")
+    g1.formula = Formula(Connective.AND, [Arg(events[0]), Arg(events[1])])
+    g2 = Gate("g2")
+    args2 = [Arg(events[2]), Arg(events[3], True)]
+    if houses:
+        args2.append(Arg(houses[0]))
+    g2.formula = Formula(Connective.OR, args2)
+    g3 = Gate("g3")
+    g3.formula = Formula(Connective.ATLEAST,
+                         [Arg(events[4]), Arg(events[5]), Arg(events[6])],
+                         min_number=2)
+    g4 = Gate("g4")
+    g4.formula = Formula(Connective.XOR, [Arg(g1), Arg(events[7])])
+    g5 = Gate("g5")  # Shares e0/e1 with g1 (long staging lifetimes).
+    g5.formula = Formula(Connective.OR, [Arg(events[0]), Arg(g3)])
+    top = Gate("top")
+    top.formula = Formula(
+        Connective.OR, [Arg(g2, True), Arg(g4), Arg(g5), Arg(events[1])])
+    tree = compile_gates([top])
+    tree.top_index = tree.gate_index["top"]
+    return tree
+
+
+def run_both(tree, n_trials=1024, chunk_tiles=2, seed=0):
+    rng = np.random.default_rng(seed)
+    basic = jnp.asarray(
+        rng.uniform(0.0, 1.0, (n_trials, tree.n_basic)), jnp.float32)
+    house = tree.house_state_vector()
+    program = compile_stream(tree, chunk_tiles=chunk_tiles)
+    got = stream_propagate(program, basic, house, interpret=True)
+    want = top_event_probability(tree, basic, jnp.asarray(house))
+    return np.asarray(got), np.asarray(want, np.float32), program
+
+
+class TestSchedule:
+    def test_pool_is_register_allocated(self):
+        tree = synthetic_compiled_tree(n_basic=128, n_gates=512, fanin=4,
+                                       n_levels=6, seed=3)
+        program = build_stream_schedule(tree, chunk_tiles=8)
+        # The live set must be far below the node count (that's the
+        # whole point vs the fused kernel's whole-tree residency).
+        assert program.pool_slots < tree.n_gates // 2
+        assert program.top_slot < program.pool_slots
+
+    def test_spills_and_double_buffering(self):
+        tree = mixed_tree()
+        program = build_stream_schedule(tree, chunk_tiles=2)
+        tags = [op[0] for op in program.ops]
+        assert tags.count("start") == program.n_chunks
+        assert tags.count("wait") == program.n_chunks
+        assert program.n_chunks >= 3  # Forces buffer reuse.
+        assert "spill" in tags        # Shared events outlive their chunk.
+        # Every wait is preceded by its start; buffer reuse never starts
+        # before the previous occupant's wait.
+        seen_start, seen_wait = set(), set()
+        for op in program.ops:
+            if op[0] == "start":
+                assert op[1] - 2 in seen_wait or op[1] < 2
+                seen_start.add(op[1])
+            elif op[0] == "wait":
+                assert op[1] in seen_start
+                seen_wait.add(op[1])
+
+    def test_three_chunk_fanin_rejected(self):
+        events = []
+        for i in range(40):
+            e = BasicEvent(f"w{i}")
+            e.expression = ConstantExpression(0.01)
+            events.append(e)
+        top = Gate("top")
+        top.formula = Formula(Connective.OR, [Arg(e) for e in events])
+        tree = compile_gates([top])
+        tree.top_index = tree.gate_index["top"]
+        with pytest.raises(LogicError):
+            build_stream_schedule(tree, chunk_tiles=2)
+        assert not stream_supported(tree, chunk_tiles=2)
+        assert stream_supported(tree, chunk_tiles=64)
+
+    def test_cone_only_execution(self):
+        # Gates outside the top cone are dead-code-eliminated.
+        tree = synthetic_compiled_tree(n_basic=64, n_gates=256, fanin=3,
+                                       n_levels=5, seed=1)
+        program = build_stream_schedule(tree, chunk_tiles=16)
+        assert program.nnz <= tree.nnz
+
+
+class TestStreamPropagate:
+    def test_mixed_tree_matches_gather(self):
+        tree = mixed_tree()
+        got, want, program = run_both(tree, chunk_tiles=2)
+        assert program.n_chunks >= 3
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-7)
+
+    def test_house_event_states(self):
+        tree = mixed_tree(n_house=1)
+        rng = np.random.default_rng(1)
+        basic = jnp.asarray(
+            rng.uniform(0.0, 1.0, (1024, tree.n_basic)), jnp.float32)
+        program = compile_stream(tree, chunk_tiles=4)
+        for state in (0.0, 1.0):
+            house = np.asarray([state], np.float32)
+            got = stream_propagate(program, basic, house, interpret=True)
+            want = top_event_probability(tree, basic, jnp.asarray(house))
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want, np.float32),
+                rtol=2e-6, atol=1e-7)
+
+    def test_prod_only_tree(self):
+        # Same multiplies in the same order as the gather engine; any
+        # difference is XLA fusion contraction (~1 ulp), not algorithm.
+        tree = synthetic_compiled_tree(n_basic=256, n_gates=512, fanin=4,
+                                       n_levels=6, seed=0)
+        got, want, _ = run_both(tree, n_trials=1024, chunk_tiles=16)
+        np.testing.assert_allclose(got, want, rtol=5e-7)
+
+    def test_multiple_trial_tiles(self):
+        tree = synthetic_compiled_tree(n_basic=64, n_gates=128, fanin=3,
+                                       n_levels=4, seed=2)
+        got, want, _ = run_both(tree, n_trials=2048, chunk_tiles=8)
+        np.testing.assert_allclose(got, want, rtol=5e-7)
+
+    def test_mef_tree_with_sharing(self):
+        top, _events = synthetic_mef_tree(n_basic=48, n_gates=36, fanin=3,
+                                          seed=5)
+        tree = compile_gates([top])
+        tree.top_index = tree.gate_index[top.id]
+        got, want, program = run_both(tree, chunk_tiles=4)
+        assert program.n_chunks >= 3
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-7)
+
+    def test_single_chunk_small_tree(self):
+        tree = mixed_tree(n_house=0)
+        got, want, program = run_both(tree, chunk_tiles=256)
+        assert program.n_chunks == 1
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-7)
+
+    def test_trial_multiple_required(self):
+        tree = mixed_tree(n_house=0)
+        program = compile_stream(tree, chunk_tiles=8)
+        with pytest.raises(LogicError):
+            stream_propagate(program, jnp.zeros((100, tree.n_basic)),
+                             np.zeros(0, np.float32), interpret=True)
