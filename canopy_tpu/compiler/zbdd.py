@@ -22,21 +22,75 @@ cut sets stay cheap.
 
 from __future__ import annotations
 
+import ctypes
+
+import numpy as np
+
 from ..errors import LogicError
 from .bdd import CompiledBdd
 
 __all__ = ["bdd_minimal_cut_sets"]
 
 
-def bdd_minimal_cut_sets(bdd: CompiledBdd, limit_order: int = 20
+def _native_minimal_cut_sets(bdd: CompiledBdd, limit_order: int,
+                             max_products: int) -> list[frozenset] | None:
+    """C++ ZDD minsol path (``native/bdd.cpp``); None = unavailable or
+    the ZDD overflowed (caller falls back to the Python transform)."""
+    from ..native import load_bdd_library
+
+    lib = load_bdd_library()
+    if lib is None:
+        return None
+    var_arr = np.ascontiguousarray(bdd.raw_var, dtype=np.int32)
+    low_arr = np.ascontiguousarray(bdd.raw_low, dtype=np.int32)
+    high_arr = np.ascontiguousarray(bdd.raw_high, dtype=np.int32)
+    root = int(bdd.root if bdd.n_nodes else
+               (1 if bdd.root_ptr == 1 else 0))
+    as_ptr = lambda a: a.ctypes.data_as(  # noqa: E731
+        ctypes.POINTER(ctypes.c_int32))
+    handle = lib.canopy_minsol(
+        as_ptr(var_arr), as_ptr(low_arr), as_ptr(high_arr),
+        len(var_arr), int(bdd.n_basic), root, int(limit_order),
+        int(max_products), 50_000_000)
+    try:
+        if lib.canopy_minsol_overflow(handle):
+            return None
+        n = lib.canopy_minsol_count(handle)
+        total = lib.canopy_minsol_total(handle)
+        lens = np.zeros(max(int(n), 1), dtype=np.int32)
+        flat = np.zeros(max(int(total), 1), dtype=np.int32)
+        lib.canopy_minsol_export(handle, as_ptr(lens), as_ptr(flat))
+    finally:
+        lib.canopy_minsol_free(handle)
+    slot_of_var = bdd.slot_of_var
+    out: list[frozenset] = []
+    offset = 0
+    for k in lens[:int(n)]:
+        out.append(frozenset(
+            (slot_of_var[int(v)], False)
+            for v in flat[offset:offset + int(k)]))
+        offset += int(k)
+    return out
+
+
+def bdd_minimal_cut_sets(bdd: CompiledBdd, limit_order: int = 20,
+                         use_native: bool | None = None,
+                         max_products: int = 2_000_000
                          ) -> list[frozenset]:
     """Minimal products (as frozensets of (basic_slot, False) literals).
 
     Requires the raw node arrays on the CompiledBdd (``raw_var`` etc.,
-    attached by ``build_bdd``).
+    attached by ``build_bdd``).  The native (C++ ZDD) path is used when
+    available — the explicit-set Python recursion below is its oracle.
     """
     if bdd.raw_var is None:
         raise LogicError("CompiledBdd is missing raw node arrays.")
+    if use_native is None or use_native:
+        native = _native_minimal_cut_sets(bdd, limit_order, max_products)
+        if native is not None:
+            return native
+        if use_native:
+            raise LogicError("native minsol unavailable or overflowed")
     var_arr, low_arr, high_arr = bdd.raw_var, bdd.raw_low, bdd.raw_high
     slot_of_var = bdd.slot_of_var
 

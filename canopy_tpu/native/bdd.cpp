@@ -238,6 +238,234 @@ struct Forest {
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// ZDD minimal-solutions engine (Rauzy's minsol over an ROBDD).
+//
+// Mirrors compiler/zbdd.py's transform, but on a zero-suppressed DD so the
+// solution family stays compact:
+//   ms(0) = {} ; ms(1) = {∅}
+//   ms(v ? H : L) = ms(L)  ∪  v · (ms(H) ⊖ ms(L))
+// where ⊖ is the subsume-difference ("without").  Node (v, l, h) of the
+// ZDD encodes  l ∪ {s ∪ {v} : s ∈ h};  since BDD children carry strictly
+// larger variables, ms(L)'s top variable exceeds v and the union folds
+// into a single mk(v, ms(L), W).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Zdd {
+  int32_t n_vars;
+  int64_t max_nodes;
+  std::vector<int32_t> var, lo, hi;  // 0 = empty family, 1 = {∅}
+  HashTable unique;
+  HashTable union_memo;
+  HashTable without_memo;
+  bool overflow = false;
+
+  Zdd(int32_t nv, int64_t mx) : n_vars(nv), max_nodes(mx) {
+    var = {nv, nv};
+    lo = {0, 1};
+    hi = {0, 1};
+  }
+
+  int32_t mk(int32_t v, int32_t l, int32_t h) {
+    if (h == kZero) return l;  // Zero-suppression rule.
+    uint64_t key_lo = (static_cast<uint64_t>(static_cast<uint32_t>(v)) << 32) |
+                      static_cast<uint32_t>(l);
+    uint64_t key_hi = static_cast<uint32_t>(h);
+    uint32_t found = unique.find(key_lo, key_hi);
+    if (found != kEmpty) return static_cast<int32_t>(found);
+    if (static_cast<int64_t>(var.size()) >= max_nodes) {
+      overflow = true;
+      return kZero;
+    }
+    int32_t index = static_cast<int32_t>(var.size());
+    var.push_back(v);
+    lo.push_back(l);
+    hi.push_back(h);
+    unique.insert(key_lo, key_hi, static_cast<uint32_t>(index));
+    return index;
+  }
+
+  bool contains_empty(int32_t a) const {
+    while (a > kOne) a = lo[a];
+    return a == kOne;
+  }
+
+  int32_t union_(int32_t a, int32_t b) {
+    if (a == b) return a;
+    if (a == kZero) return b;
+    if (b == kZero) return a;
+    if (a > b) std::swap(a, b);  // Commutative canonical key.
+    uint64_t key_lo = (static_cast<uint64_t>(static_cast<uint32_t>(a)) << 32) |
+                      static_cast<uint32_t>(b);
+    uint32_t memo = union_memo.find(key_lo, 1);
+    if (memo != kEmpty) return static_cast<int32_t>(memo);
+    int32_t va = var[a], vb = var[b], r;
+    if (va < vb) {
+      r = mk(va, union_(lo[a], b), hi[a]);
+    } else if (vb < va) {
+      r = mk(vb, union_(a, lo[b]), hi[b]);
+    } else {
+      r = mk(va, union_(lo[a], lo[b]), union_(hi[a], hi[b]));
+    }
+    union_memo.insert(key_lo, 1, static_cast<uint32_t>(r));
+    return r;
+  }
+
+  // Sets of `a` not subsumed by (superset-or-equal of) any set of `b`.
+  int32_t without(int32_t a, int32_t b) {
+    if (a == kZero || b == kZero) return a;
+    if (b == kOne || a == b) return kZero;  // ∅ subsumes everything.
+    if (a == kOne) return contains_empty(b) ? kZero : kOne;
+    uint64_t key_lo = (static_cast<uint64_t>(static_cast<uint32_t>(a)) << 32) |
+                      static_cast<uint32_t>(b);
+    uint32_t memo = without_memo.find(key_lo, 2);
+    if (memo != kEmpty) return static_cast<int32_t>(memo);
+    int32_t va = var[a], vb = var[b], r;
+    if (vb < va) {
+      // Sets of b containing vb cannot be subsets of va-rooted sets.
+      r = without(a, lo[b]);
+    } else if (va < vb) {
+      r = mk(va, without(lo[a], b), without(hi[a], b));
+    } else {
+      r = mk(va, without(lo[a], lo[b]),
+             without(hi[a], union_(lo[b], hi[b])));
+    }
+    without_memo.insert(key_lo, 2, static_cast<uint32_t>(r));
+    return r;
+  }
+};
+
+struct MinsolHandle {
+  Zdd zdd;
+  int32_t root = kZero;
+  std::vector<int32_t> lens;
+  std::vector<int32_t> flat;
+  bool truncated = false;
+
+  MinsolHandle(int32_t nv, int64_t mx) : zdd(nv, mx) {}
+};
+
+}  // namespace
+
+extern "C" {
+
+// Build the minimal-solutions ZDD for BDD `root` over the exported node
+// arrays (terminals at 0/1, children at lower indices than parents), then
+// enumerate solutions up to `limit_order` literals and `max_products`
+// solutions.  Returns a handle (never null); check _overflow.
+void *canopy_minsol(const int32_t *bvar, const int32_t *blow,
+                    const int32_t *bhigh, int64_t n_nodes, int32_t n_vars,
+                    int32_t root, int32_t limit_order, int64_t max_products,
+                    int64_t max_nodes) {
+  MinsolHandle *h = new MinsolHandle(n_vars, max_nodes);
+  Zdd &z = h->zdd;
+
+  // Reachable set from the root (children precede parents by index).
+  std::vector<char> reach(static_cast<size_t>(n_nodes), 0);
+  if (root > kOne) {
+    std::vector<int32_t> dfs = {root};
+    while (!dfs.empty()) {
+      int32_t n = dfs.back();
+      dfs.pop_back();
+      if (n <= kOne || reach[n]) continue;
+      reach[n] = 1;
+      dfs.push_back(blow[n]);
+      dfs.push_back(bhigh[n]);
+    }
+  }
+
+  // Bottom-up minsol (index order = topological order).
+  std::vector<int32_t> ms(static_cast<size_t>(n_nodes), -1);
+  if (n_nodes > 0) ms[0] = kZero;
+  if (n_nodes > 1) ms[1] = kOne;
+  for (int64_t n = 2; n < n_nodes; ++n) {
+    if (!reach[n]) continue;
+    int32_t L = ms[blow[n]];
+    int32_t H = ms[bhigh[n]];
+    int32_t W = z.without(H, L);
+    ms[n] = z.mk(bvar[n], L, W);  // == union(L, v·W): vars(L) > v.
+  }
+  h->root = (root <= kOne) ? root : ms[root];
+  if (z.overflow) return h;
+
+  // Enumerate: iterative DFS, order-bounded, product-capped.
+  struct Frame {
+    int32_t node;
+    int stage;
+  };
+  std::vector<Frame> stack;
+  std::vector<int32_t> path;
+  stack.push_back({h->root, 0});
+  while (!stack.empty()) {
+    Frame &fr = stack.back();
+    if (fr.node == kZero) {
+      stack.pop_back();
+      continue;
+    }
+    if (fr.node == kOne) {
+      if (static_cast<int64_t>(h->lens.size()) >= max_products) {
+        h->truncated = true;
+        break;
+      }
+      h->lens.push_back(static_cast<int32_t>(path.size()));
+      h->flat.insert(h->flat.end(), path.begin(), path.end());
+      stack.pop_back();
+      continue;
+    }
+    if (fr.stage == 0) {
+      fr.stage = 1;
+      stack.push_back({z.lo[fr.node], 0});
+    } else if (fr.stage == 1) {
+      if (static_cast<int32_t>(path.size()) < limit_order) {
+        fr.stage = 2;
+        path.push_back(z.var[fr.node]);
+        stack.push_back({z.hi[fr.node], 0});
+      } else {
+        // hi != 0 by zero-suppression: solutions beyond the bound exist.
+        h->truncated = true;
+        stack.pop_back();
+      }
+    } else {
+      path.pop_back();
+      stack.pop_back();
+    }
+  }
+  return h;
+}
+
+int64_t canopy_minsol_count(void *h) {
+  return static_cast<int64_t>(static_cast<MinsolHandle *>(h)->lens.size());
+}
+
+int64_t canopy_minsol_total(void *h) {
+  return static_cast<int64_t>(static_cast<MinsolHandle *>(h)->flat.size());
+}
+
+int32_t canopy_minsol_truncated(void *h) {
+  return static_cast<MinsolHandle *>(h)->truncated ? 1 : 0;
+}
+
+int32_t canopy_minsol_overflow(void *h) {
+  return static_cast<MinsolHandle *>(h)->zdd.overflow ? 1 : 0;
+}
+
+int64_t canopy_minsol_zdd_nodes(void *h) {
+  return static_cast<int64_t>(
+      static_cast<MinsolHandle *>(h)->zdd.var.size());
+}
+
+void canopy_minsol_export(void *h, int32_t *out_lens, int32_t *out_flat) {
+  MinsolHandle *mh = static_cast<MinsolHandle *>(h);
+  std::memcpy(out_lens, mh->lens.data(), mh->lens.size() * sizeof(int32_t));
+  std::memcpy(out_flat, mh->flat.data(), mh->flat.size() * sizeof(int32_t));
+}
+
+void canopy_minsol_free(void *h) { delete static_cast<MinsolHandle *>(h); }
+
+}  // extern "C"
+
 extern "C" {
 
 void *canopy_bdd_new(int32_t n_vars, int64_t max_nodes) {

@@ -77,6 +77,23 @@ def load_bdd_library():
     lib.canopy_bdd_export.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    lib.canopy_minsol.restype = ctypes.c_void_p
+    lib.canopy_minsol.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64]
+    for name, restype in (("count", ctypes.c_int64),
+                          ("total", ctypes.c_int64),
+                          ("truncated", ctypes.c_int32),
+                          ("overflow", ctypes.c_int32),
+                          ("zdd_nodes", ctypes.c_int64)):
+        fn = getattr(lib, f"canopy_minsol_{name}")
+        fn.restype = restype
+        fn.argtypes = [ctypes.c_void_p]
+    lib.canopy_minsol_export.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.canopy_minsol_free.argtypes = [ctypes.c_void_p]
     _handle = lib
     return _handle
 

@@ -88,3 +88,53 @@ class TestBddCutSets:
         tree = compiled(top)
         cuts = bdd_minimal_cut_sets(build_bdd(tree))
         assert cuts == [frozenset()]  # Tautology: the empty product.
+
+
+class TestNativeMinsol:
+    """C++ ZDD minsol vs the Python explicit-set transform."""
+
+    def _both(self, tree, limit_order=20):
+        from canopy_tpu.native import native_available
+        if not native_available():
+            pytest.skip("native library unavailable")
+        bdd = build_bdd(tree)
+        native = bdd_minimal_cut_sets(bdd, limit_order=limit_order,
+                                      use_native=True)
+        python = bdd_minimal_cut_sets(bdd, limit_order=limit_order,
+                                      use_native=False)
+        return native, python
+
+    @pytest.mark.parametrize("seed", [7, 11, 13, 17])
+    def test_parity_on_synthetics(self, seed):
+        top, _ = synthetic_mef_tree(n_basic=30, n_gates=22, fanin=3,
+                                    seed=seed, atleast_fraction=0.2,
+                                    complement_fraction=0.1)
+        native, python = self._both(compiled(top))
+        assert set(native) == set(python)
+        assert len(native) == len(set(native))  # ZDD canonical: no dups.
+
+    def test_parity_with_order_bound(self):
+        top, _ = synthetic_mef_tree(n_basic=30, n_gates=22, fanin=3,
+                                    seed=41, atleast_fraction=0.2)
+        native, python = self._both(compiled(top), limit_order=2)
+        assert set(native) == set(python)
+
+    def test_constant_and_tautology(self):
+        a, b = make_events([0.4, 0.5])
+        g1 = Gate("g1")
+        g1.formula = Formula(Connective.NULL, [Arg(a)])
+        top = Gate("top")
+        top.formula = Formula(Connective.IMPLY, [Arg(g1), Arg(a)])
+        native, python = self._both(compiled(top))
+        assert native == python == [frozenset()]
+
+    def test_max_products_truncation(self):
+        from canopy_tpu.native import native_available
+        if not native_available():
+            pytest.skip("native library unavailable")
+        events = make_events([0.1] * 8)
+        top = Gate("top")
+        top.formula = Formula(Connective.OR, [Arg(e) for e in events])
+        bdd = build_bdd(compiled(top))
+        cuts = bdd_minimal_cut_sets(bdd, use_native=True, max_products=3)
+        assert len(cuts) == 3
