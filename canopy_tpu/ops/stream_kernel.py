@@ -35,7 +35,7 @@ from ..compiler.schedule import StreamProgram, build_stream_schedule
 from ..errors import LogicError
 
 __all__ = ["stream_propagate", "stream_propagate_staged", "stage_basic",
-           "stream_supported", "compile_stream"]
+           "unstage_basic", "stream_supported", "compile_stream"]
 
 _TILE_TRIALS = 1024  # 8 sublanes x 128 lanes per node tile.
 
@@ -144,6 +144,20 @@ def stage_basic(program: StreamProgram,
     bp = jnp.pad(bp, ((0, nbp - n_basic), (0, 0)))
     return bp.reshape(nbp, n_tiles, 8, 128).transpose(1, 0, 2, 3) \
         .reshape(n_tiles * nbp, 8, 128)
+
+
+def unstage_basic(program: StreamProgram,
+                  staged: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`stage_basic`: staged layout -> (n_trials,
+    n_basic).  Diagnostic/testing utility (e.g. validating sharded
+    plumbing against the gather engine)."""
+    nbp = program.n_basic_pad
+    n_tiles = staged.shape[0] // nbp
+    bp = staged.reshape(n_tiles, nbp, 8, 128).transpose(1, 0, 2, 3) \
+        .reshape(nbp, n_tiles * _TILE_TRIALS)
+    inv = np.empty(program.n_basic, dtype=np.int64)
+    inv[program.basic_perm] = np.arange(program.n_basic)
+    return bp[:program.n_basic][jnp.asarray(inv)].T
 
 
 def stream_propagate(program: StreamProgram, basic_p: jnp.ndarray,

@@ -34,8 +34,10 @@ except ImportError:  # pragma: no cover - older jax
 from ..compiler.graph import CompiledTree
 from ..engine.cutset_quantify import CutSetMatrix
 from ..engine.propagate import propagate_probability
+from ..errors import LogicError
 
-__all__ = ["sharded_uncertainty_step", "sharded_cutset_quantifier"]
+__all__ = ["sharded_uncertainty_step", "sharded_cutset_quantifier",
+           "sharded_stream_step"]
 
 
 def sharded_uncertainty_step(tree: CompiledTree, mesh: Mesh):
@@ -111,3 +113,54 @@ def sharded_cutset_quantifier(matrix: CutSetMatrix, mesh: Mesh):
                        alive_j.astype(basic_p.dtype))
 
     return quantify
+
+
+def sharded_stream_step(program, mesh: Mesh,
+                        house_states: np.ndarray,
+                        interpret: bool = False,
+                        _local_override=None):
+    """Data-parallel streaming propagation: jitted
+    ``(basic_p_batch) -> per-trial top probabilities``.
+
+    The flagship big-structured-tree engine (``ops/stream_kernel``) under
+    explicit ``shard_map``: Pallas calls do not auto-partition under
+    GSPMD, so the trials axis is sharded over the full mesh and each
+    device streams its own trial tiles through its VMEM pool — pure data
+    parallelism, no collectives (the per-trial outputs concatenate).
+    Staging (``stage_basic``) runs GSPMD-sharded on the same axis first.
+
+    The global trial count must give every device a whole number of
+    (8, 128) tiles: ``n_trials % (1024 * mesh.size) == 0``.
+    """
+    from ..ops.stream_kernel import stage_basic, stream_propagate_staged
+
+    axes = tuple(mesh.axis_names)
+    n_dev = int(mesh.devices.size)
+    nbp = program.n_basic_pad
+
+    def local(staged_local):
+        return stream_propagate_staged(program, staged_local, house_states,
+                                       interpret=interpret)
+
+    if _local_override is not None:  # Testing hook (sharding plumbing).
+        local = _local_override
+
+    # check_vma must be off: pallas_call's out_shape carries no
+    # varying-mesh-axes annotation (the kernel is purely per-shard).
+    sharded = shard_map(local, mesh=mesh, in_specs=P(axes, None, None),
+                        out_specs=P(axes), check_vma=False)
+
+    @jax.jit
+    def step(basic_p):
+        n_trials = basic_p.shape[0]
+        if n_trials % (1024 * n_dev):
+            raise LogicError(
+                f"sharded stream step needs n_trials % "
+                f"{1024 * n_dev} == 0 (whole tiles per device)")
+        staged = stage_basic(program, basic_p)
+        # Shard boundaries must align with per-trial-tile blocks of the
+        # staged layout (each block is n_basic_pad rows).
+        assert (staged.shape[0] // n_dev) % nbp == 0
+        return sharded(staged)
+
+    return step
