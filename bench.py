@@ -271,6 +271,48 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - secondary metric only
         print(f"bench[stream] skipped: {exc}", file=sys.stderr)
 
+    # Secondary: bf16-storage gather on the big uniform tree at double
+    # the trial width. The engine is row-issue-rate-bound, and bf16
+    # halves row bytes, so T=4096 fits the f32 T=2048 memory ceiling and
+    # carries ~2x the trials per issued row (compute stays f32; one
+    # rounding per level).
+    try:
+        if time.perf_counter() - bench_start > budget_s:
+            raise TimeoutError("budget exhausted")
+        bf_trials = 2 * n_trials
+        basic_bf = jnp.asarray(
+            rng.uniform(0.0, 0.05, (bf_trials, tree.n_basic)),
+            jnp.bfloat16)
+        house_bf = jnp.zeros((0,), jnp.bfloat16)
+
+        @jax.jit
+        def repeat_bf(p, n_iter):
+            def body(i, acc):
+                # Perturbation above bf16 granularity (defeats CSE).
+                pp = p * (1.0 + 0.01 * i)
+                out = top_event_probability(tree, pp, house_bf)
+                return acc + out.astype(jnp.float32).sum()
+            return jax.lax.fori_loop(0, n_iter, body,
+                                     jnp.asarray(0.0, jnp.float32))
+
+        def timed_bf(n_iter):
+            float(repeat_bf(basic_bf, n_iter))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(repeat_bf(basic_bf, n_iter))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        bf_dt = max((timed_bf(2 + iters) - timed_bf(2)) / iters, 1e-9)
+        bf_value = nnz * bf_trials / bf_dt
+        print(f"bench[gather-bf16 {n_gates}g T={bf_trials}]: "
+              f"{bf_dt*1e3:.2f} ms/iter, {bf_value/1e9:.2f} "
+              f"Gnnz*trials/s ({bf_value/max(gather_value,1):.2f}x f32)",
+              file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - secondary metric only
+        print(f"bench[gather-bf16] skipped: {exc}", file=sys.stderr)
+
     # Secondary: the bit-packed Boolean MC engine (32 trials per uint32
     # word) on the same structure — the aleatory-simulation headline.
     try:

@@ -47,6 +47,13 @@ __all__ = ["propagate_probability", "top_event_probability",
            "propagate_node_major", "make_propagator"]
 
 
+def _compute_dtype(vals: jnp.ndarray):
+    """Gate math runs in >= f32 even when the value matrix is stored
+    narrow (bf16 trials halve HBM rows — the big-tree engine's memory
+    ceiling); one rounding per level instead of one per multiply."""
+    return jnp.promote_types(vals.dtype, jnp.float32)
+
+
 def _eval_prod(vals: jnp.ndarray, block: ProdBlock):
     """vals: (n_nodes, B). Returns (out_idx, out (G, B)).
 
@@ -55,9 +62,10 @@ def _eval_prod(vals: jnp.ndarray, block: ProdBlock):
     costs ~3x extra HBM traffic on benchmark-scale trees.
     """
     F = block.arg_idx.shape[1]
+    cdt = _compute_dtype(vals)
     acc = None
     for f in range(F):
-        v = vals[jnp.asarray(block.arg_idx[:, f])]     # (G, B) row gather
+        v = vals[jnp.asarray(block.arg_idx[:, f])].astype(cdt)
         flip = jnp.asarray(block.arg_flip[:, f])[:, None]
         x = jnp.where(flip, 1.0 - v, v)
         if not block.arg_mask[:, f].all():
@@ -69,7 +77,7 @@ def _eval_prod(vals: jnp.ndarray, block: ProdBlock):
 
 
 def _eval_pair(vals: jnp.ndarray, block: PairBlock):
-    v = vals[block.arg_idx]                            # (G, 2, B)
+    v = vals[block.arg_idx].astype(_compute_dtype(vals))  # (G, 2, B)
     neg = jnp.asarray(block.arg_neg)[..., None]
     v = jnp.where(neg, 1.0 - v, v)
     a, b = v[:, 0, :], v[:, 1, :]
@@ -80,7 +88,7 @@ def _eval_pair(vals: jnp.ndarray, block: PairBlock):
 
 def _eval_count(vals: jnp.ndarray, block: CountBlock):
     """Poisson-binomial DP with absorbing cap (state ``cap`` = ">= cap")."""
-    v = vals[block.arg_idx]                            # (G, F, B)
+    v = vals[block.arg_idx].astype(_compute_dtype(vals))  # (G, F, B)
     neg = jnp.asarray(block.arg_neg)[..., None]
     mask = jnp.asarray(block.arg_mask)[..., None]
     v = jnp.where(neg, 1.0 - v, v)
@@ -117,7 +125,7 @@ def _write_rows(vals: jnp.ndarray, idx, out: jnp.ndarray) -> jnp.ndarray:
     if len(idx_np) and (np.diff(idx_np) == 1).all():
         return jax.lax.dynamic_update_slice(vals, out.astype(vals.dtype),
                                             (int(idx_np[0]), 0))
-    return vals.at[jnp.asarray(idx_np)].set(out)
+    return vals.at[jnp.asarray(idx_np)].set(out.astype(vals.dtype))
 
 
 _EVALUATORS = {"prod": _eval_prod, "pair": _eval_pair,

@@ -209,3 +209,56 @@ class TestStructure:
         top.formula = Formula(Connective.AND, [Arg(g1), Arg(g2)])
         tree = compile_gates([top])
         assert tree.n_gates == 4
+
+
+class TestNarrowStorage:
+    """bf16 value-matrix storage: compute stays >= f32, one rounding per
+    level (the big-tree engine's memory ceiling is row bytes)."""
+
+    def test_bf16_tracks_f32(self):
+        import jax.numpy as jnp
+        from canopy_tpu.engine.propagate import propagate_probability
+        from canopy_tpu.utils.synthetic import synthetic_compiled_tree
+
+        tree = synthetic_compiled_tree(n_basic=256, n_gates=1024, fanin=4,
+                                       n_levels=6, seed=3)
+        rng = np.random.default_rng(0)
+        p = rng.uniform(0.0, 0.1, (32, tree.n_basic)).astype(np.float32)
+        house = jnp.zeros(0)
+        f32 = np.asarray(propagate_probability(tree, jnp.asarray(p), house))
+        out = propagate_probability(tree, jnp.asarray(p, jnp.bfloat16),
+                                    house)
+        assert out.dtype == jnp.bfloat16
+        b16 = np.asarray(out.astype(jnp.float32))
+        # One bf16 rounding per level on values in [0, 1]: absolute
+        # error stays ~depth * 2^-9.
+        assert np.max(np.abs(b16 - f32)) < tree.depth * 2.0 ** -8
+
+    def test_bf16_mixed_families(self):
+        import jax.numpy as jnp
+        from canopy_tpu.compiler.graph import compile_gates
+        from canopy_tpu.engine.propagate import top_event_probability
+        from canopy_tpu.mef.event import (Arg, BasicEvent, Connective,
+                                          Formula, Gate)
+        from canopy_tpu.mef.expr import ConstantExpression
+
+        events = []
+        for i in range(5):
+            e = BasicEvent(f"nb{i}")
+            e.expression = ConstantExpression(0.2)
+            events.append(e)
+        g1 = Gate("g1")
+        g1.formula = Formula(Connective.ATLEAST,
+                             [Arg(e) for e in events[:4]], min_number=2)
+        g2 = Gate("g2")
+        g2.formula = Formula(Connective.XOR, [Arg(g1), Arg(events[4])])
+        top = Gate("topn")
+        top.formula = Formula(Connective.OR, [Arg(g1), Arg(g2, True)])
+        tree = compile_gates([top])
+        tree.top_index = tree.gate_index["topn"]
+        rng = np.random.default_rng(1)
+        p = rng.uniform(0.0, 0.9, (16, 5)).astype(np.float32)
+        f32 = np.asarray(top_event_probability(tree, jnp.asarray(p)))
+        b16 = np.asarray(top_event_probability(
+            tree, jnp.asarray(p, jnp.bfloat16)).astype(jnp.float32))
+        np.testing.assert_allclose(b16, f32, atol=0.02)
