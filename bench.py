@@ -313,6 +313,56 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - secondary metric only
         print(f"bench[gather-bf16] skipped: {exc}", file=sys.stderr)
 
+    # Secondary: exact-BDD streaming evaluation (one fused Shannon mux
+    # per node) — exact per-trial quantification of a shared-event model.
+    try:
+        if time.perf_counter() - bench_start > budget_s:
+            raise TimeoutError("budget exhausted")
+        from canopy_tpu.compiler.bdd import build_bdd
+        from canopy_tpu.compiler.graph import compile_gates
+        from canopy_tpu.ops.stream_kernel import (compile_bdd_stream,
+                                                  stage_basic,
+                                                  stream_propagate_staged)
+        from canopy_tpu.utils.synthetic import synthetic_mef_tree
+
+        top_b, _ = synthetic_mef_tree(n_basic=300, n_gates=260, fanin=3,
+                                      seed=9, atleast_fraction=0.1,
+                                      complement_fraction=0.0)
+        tree_b = compile_gates([top_b])
+        tree_b.top_index = tree_b.gate_index[top_b.id]
+        bdd_b = build_bdd(tree_b, max_nodes=20_000_000)
+        program_b = compile_bdd_stream(bdd_b)
+        bdd_trials = 2048
+        basic_b = jnp.asarray(
+            rng.uniform(0.0, 0.02, (bdd_trials, tree_b.n_basic)), dtype)
+        staged_b = jax.jit(lambda p: stage_basic(program_b, p))(basic_b)
+        empty_house = np.zeros(0, np.float32)
+
+        @jax.jit
+        def repeat_bdd(s, n_iter):
+            def body(i, acc):
+                v = stream_propagate_staged(program_b, s, empty_house)
+                return acc + v.sum()
+            return jax.lax.fori_loop(0, n_iter, body,
+                                     jnp.asarray(0.0, dtype))
+
+        def timed_bdd(n_iter):
+            float(repeat_bdd(staged_b, n_iter))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(repeat_bdd(staged_b, n_iter))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        bdd_dt = max((timed_bdd(2 + iters) - timed_bdd(2)) / iters, 1e-9)
+        print(f"bench[bdd-stream {bdd_b.n_nodes}n exact]: "
+              f"{bdd_dt*1e3:.3f} ms/iter, "
+              f"{bdd_trials/bdd_dt/1e6:.1f}M exact quantifications/s",
+              file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - secondary metric only
+        print(f"bench[bdd-stream] skipped: {exc}", file=sys.stderr)
+
     # Secondary: the bit-packed Boolean MC engine (32 trials per uint32
     # word) on the same structure — the aleatory-simulation headline.
     try:

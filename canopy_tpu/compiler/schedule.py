@@ -39,7 +39,8 @@ import numpy as np
 from ..errors import LogicError
 from .graph import CompiledTree
 
-__all__ = ["StreamProgram", "build_stream_schedule"]
+__all__ = ["StreamProgram", "build_stream_schedule",
+           "build_bdd_stream_schedule"]
 
 #: VMEM working budget (bytes) for staging + pool tiles; leave headroom
 #: under the ~16 MB/core for the pipeline's own buffers. 12 MiB pools
@@ -132,19 +133,62 @@ def build_stream_schedule(tree: CompiledTree,
     """
     if tree.top_index is None:
         raise LogicError("stream schedule needs an anchored top event")
-    if tree.n_basic == 0:
+    return _build_schedule(_emit_gate_ops(tree), tree.n_basic,
+                           tree.n_house, tree.top_index, chunk_tiles)
+
+
+def build_bdd_stream_schedule(bdd, chunk_tiles: int = 256) -> StreamProgram:
+    """Schedule an exact ROBDD evaluation as a streaming program.
+
+    Every BDD node is one fused ``mux`` op — ``p*hi + (1-p)*lo``, the
+    Shannon recursion of ``engine/bdd_eval.bdd_probability`` — reading
+    the decision variable's staged basic tile and the children's pool
+    tiles; terminals become constant fills.  The result evaluates exact
+    per-trial top probabilities (shared events included) at the
+    streaming kernel's rate.
+    """
+    if bdd.raw_var is None:
+        raise LogicError("CompiledBdd is missing raw node arrays")
+    root = int(bdd.root if bdd.n_nodes else
+               (1 if bdd.root_ptr == 1 else 0))
+    if root <= 1:
+        raise LogicError("constant BDD: nothing to stream")
+    n_b = int(bdd.n_basic)
+    var_arr, low_arr, high_arr = bdd.raw_var, bdd.raw_low, bdd.raw_high
+    slot_of_var = bdd.slot_of_var
+    rows = [("fill", n_b + 0, [], 0.0), ("fill", n_b + 1, [], 1.0)]
+    # Children precede parents by index in the forest arrays.
+    reach: set[int] = set()
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if n <= 1 or n in reach:
+            continue
+        reach.add(n)
+        stack.append(int(low_arr[n]))
+        stack.append(int(high_arr[n]))
+    for n in sorted(reach):
+        rows.append(("mux", n_b + n, [
+            (slot_of_var[int(var_arr[n])], False),
+            (n_b + int(high_arr[n]), False),
+            (n_b + int(low_arr[n]), False)], None))
+    return _build_schedule(rows, n_b, 0, n_b + root, chunk_tiles)
+
+
+def _build_schedule(gate_rows, n_basic: int, n_house: int, top_index: int,
+                    chunk_tiles: int) -> StreamProgram:
+    if n_basic == 0:
         raise LogicError("stream schedule needs at least one basic event")
 
-    n_b = tree.n_basic
-    n_h = tree.n_house
-    gate_rows = _emit_gate_ops(tree)
+    n_b = n_basic
+    n_h = n_house
     op_of_slot = {row[1]: row for row in gate_rows}
 
     # Depth-first post-order from the top gate (iterative), visiting each
     # gate once; basics get their first-use rank along the way.
     exec_rows = []
     seen: set[int] = set()
-    stack: list[tuple[int, bool]] = [(tree.top_index, False)]
+    stack: list[tuple[int, bool]] = [(top_index, False)]
     while stack:
         slot, expanded = stack.pop()
         if expanded:
@@ -298,7 +342,7 @@ def build_stream_schedule(tree: CompiledTree,
         out_pool = alloc()
         slot_of[out_slot] = out_pool
         ops.append(("gate", kind, out_pool, locs, aux))
-        if out_slot != tree.top_index:
+        if out_slot != top_index:
             if out_slot in gate_last_use:
                 frees_at.setdefault(gate_last_use[out_slot], []) \
                     .append(out_slot)
@@ -319,4 +363,4 @@ def build_stream_schedule(tree: CompiledTree,
         ops=ops, basic_perm=basic_perm, n_basic=n_b,
         n_basic_pad=n_basic_pad, chunk_tiles=chunk_tiles,
         n_chunks=n_active, pool_slots=n_slots,
-        top_slot=slot_of[tree.top_index], nnz=exec_nnz, n_house=n_h)
+        top_slot=slot_of[top_index], nnz=exec_nnz, n_house=n_h)

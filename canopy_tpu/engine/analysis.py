@@ -310,6 +310,16 @@ class RiskAnalysis:
             # the configured cut-set approximation per trial (the batched
             # SpMM configuration), otherwise direct propagation.
             unc_fn = top_fn
+            if unc_fn is not None and jax.default_backend() == "tpu":
+                # Exact per-trial evaluation at kernel speed: a
+                # monolithic BDD streamed as fused Shannon muxes
+                # (falls back to the modular evaluator on blowup).
+                try:
+                    bdd_u = build_bdd(tree, house_states=np.asarray(house))
+                    from .bdd_eval import make_bdd_evaluator
+                    unc_fn = make_bdd_evaluator(bdd_u)
+                except BddBlowupError:
+                    pass
             if unc_fn is None and products is not None and \
                     settings.approximation() in (Approximation.RARE_EVENT,
                                                  Approximation.MCUB):

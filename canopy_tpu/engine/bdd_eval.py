@@ -14,11 +14,12 @@ partial-derivative vector).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..compiler.bdd import CompiledBdd
 
-__all__ = ["bdd_probability"]
+__all__ = ["bdd_probability", "make_bdd_evaluator"]
 
 
 def bdd_probability(bdd: CompiledBdd, basic_p: jnp.ndarray) -> jnp.ndarray:
@@ -39,3 +40,31 @@ def bdd_probability(bdd: CompiledBdd, basic_p: jnp.ndarray) -> jnp.ndarray:
         hi = vals[..., high_ptr]
         vals = vals.at[..., out_ptr].set(p * hi + (1.0 - p) * lo)
     return vals[..., bdd.root_ptr]
+
+
+def make_bdd_evaluator(bdd: CompiledBdd, engine: str = "auto"):
+    """A jitted exact evaluator ``f(basic_p) -> top probability``.
+
+    On a TPU backend with a schedulable BDD, (n_trials, n_basic) batches
+    on the 1024-trial grid run through the streaming mux kernel
+    (``ops/stream_kernel.stream_bdd_probability`` — one fused Shannon
+    mux per node at full VPU width); every other shape falls back to the
+    level-scheduled gather evaluation above. Both are exact.
+    """
+    program = None
+    if engine in ("auto", "stream") and jax.default_backend() == "tpu":
+        from ..errors import LogicError
+        from ..ops.stream_kernel import compile_bdd_stream
+        try:
+            program = compile_bdd_stream(bdd)
+        except LogicError:
+            if engine == "stream":
+                raise
+
+    def fn(basic_p):
+        if program is not None and basic_p.ndim == 2 \
+                and basic_p.shape[0] % 1024 == 0:
+            from ..ops.stream_kernel import stream_bdd_probability
+            return stream_bdd_probability(program, basic_p)
+        return bdd_probability(bdd, basic_p)
+    return jax.jit(fn)

@@ -35,7 +35,8 @@ from ..compiler.schedule import StreamProgram, build_stream_schedule
 from ..errors import LogicError
 
 __all__ = ["stream_propagate", "stream_propagate_staged", "stage_basic",
-           "unstage_basic", "stream_supported", "compile_stream"]
+           "unstage_basic", "stream_supported", "compile_stream",
+           "compile_bdd_stream", "stream_bdd_probability"]
 
 _TILE_TRIALS = 1024  # 8 sublanes x 128 lanes per node tile.
 
@@ -45,6 +46,27 @@ def compile_stream(tree: CompiledTree,
     """Schedule ``tree`` for streaming (raises ``LogicError`` if it
     cannot fit — callers fall back to the gather engine)."""
     return build_stream_schedule(tree, chunk_tiles=chunk_tiles)
+
+
+def compile_bdd_stream(bdd, chunk_tiles: int = 256) -> StreamProgram:
+    """Schedule exact ROBDD evaluation for streaming (one fused mux per
+    Shannon node); raises ``LogicError`` when it cannot fit."""
+    from ..compiler.schedule import build_bdd_stream_schedule
+    return build_bdd_stream_schedule(bdd, chunk_tiles=chunk_tiles)
+
+
+def stream_bdd_probability(program: StreamProgram, basic_p: jnp.ndarray,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Exact per-trial top probability over a BDD stream program.
+
+    ``basic_p``: (n_trials, n_basic), n_trials % 1024 == 0.  Exact for
+    shared-event models (same math as ``bdd_eval.bdd_probability``) at
+    the streaming kernel's rate.  Hot loops: ``stage_basic`` once and
+    call :func:`stream_propagate_staged` directly.
+    """
+    return stream_propagate_staged(program, stage_basic(program, basic_p),
+                                   np.zeros(0, np.float32),
+                                   interpret=interpret)
 
 
 def stream_supported(tree: CompiledTree, chunk_tiles: int = 256) -> bool:
@@ -102,6 +124,13 @@ def _stream_kernel(p_ref, out_ref, stage, pool, sems, *,
                     b = 1.0 - b
                 x = a + b - 2.0 * a * b
                 value = 1.0 - x if aux else x
+            elif kind == "mux":
+                # Shannon node: p * hi + (1 - p) * lo (exact BDD eval).
+                (lp, _), (lh, _), (ll, _) = locs
+                p = read(lp)
+                value = p * read(lh) + (1.0 - p) * read(ll)
+            elif kind == "fill":
+                value = jnp.full((8, 128), float(aux), dtype=jnp.float32)
             else:  # count: Poisson-binomial DP, statically unrolled.
                 lo, hi = aux
                 cap = hi + 1
