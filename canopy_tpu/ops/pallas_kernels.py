@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..compiler.graph import CompiledTree
 
 __all__ = ["packed_bernoulli", "fused_propagate", "fused_propagate_tiled",
+           "fused_propagate_tiled_staged", "tile_trials",
            "fused_tiled_supported"]
 
 
@@ -254,30 +255,8 @@ def fused_tiled_supported(tree: CompiledTree) -> bool:
         <= _FUSED_VMEM_BUDGET
 
 
-def fused_propagate_tiled(tree: CompiledTree, basic_p: jnp.ndarray,
-                          house_states: jnp.ndarray,
-                          interpret: bool = False) -> jnp.ndarray:
-    """:func:`fused_propagate` with full-VPU node tiles.
-
-    The plain fused kernel computes each gate on a (1, block_trials)
-    lane row — one of the VPU's eight sublanes.  Here every node's
-    working value is a whole (8, 128) register tile (1024 trials per
-    grid step), so each multiply runs the VPU at full width: ~8x the
-    arithmetic throughput for trees small enough that every node can
-    afford a 4 KB tile (~3k nodes; real Aralia-class PRA models are
-    well inside).  Requires ``n_trials % 1024 == 0``; `make_propagator`
-    dispatches here when shapes allow.
-    """
-    if not fused_tiled_supported(tree):
-        raise ValueError(
-            f"tree ({tree.n_gates} gates + {tree.n_basic} basics) "
-            "exceeds the tiled fused kernel's VMEM budget")
-    n_trials, n_basic = basic_p.shape
-    if n_trials % _TILE_TRIALS:
-        raise ValueError("tiled fused kernel needs n_trials % 1024 == 0")
-    ops = _emit_gate_ops(tree)
-    house = np.asarray(house_states, dtype=np.float32)
-    n_tiles = n_trials // _TILE_TRIALS
+def _make_tiled_kernel(tree: CompiledTree, ops, house: np.ndarray):
+    """The (8, 128)-tile kernel body shared by the tiled entry points."""
 
     def kernel(p_ref, out_ref, scratch):
         n_b = tree.n_basic
@@ -308,7 +287,7 @@ def fused_propagate_tiled(tree: CompiledTree, basic_p: jnp.ndarray,
                     b = 1.0 - b
                 x = a + b - 2.0 * a * b
                 value = 1.0 - x if aux else x
-            else:  # count
+            else:  # count: Poisson-binomial DP, statically unrolled.
                 lo, hi = aux
                 cap = hi + 1
                 dp = [jnp.ones((8, 128), dtype=jnp.float32)] + \
@@ -328,12 +307,50 @@ def fused_propagate_tiled(tree: CompiledTree, basic_p: jnp.ndarray,
 
         out_ref[0] = scratch[tree.top_index - n_b - tree.n_house]
 
+    return kernel
+
+
+def fused_propagate_tiled(tree: CompiledTree, basic_p: jnp.ndarray,
+                          house_states: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
+    """:func:`fused_propagate` with full-VPU node tiles.
+
+    The plain fused kernel computes each gate on a (1, block_trials)
+    lane row — one of the VPU's eight sublanes.  Here every node's
+    working value is a whole (8, 128) register tile (1024 trials per
+    grid step), so each multiply runs the VPU at full width: ~8x the
+    arithmetic throughput for trees small enough that every node can
+    afford a 4 KB tile (~3k nodes; real Aralia-class PRA models are
+    well inside).  Requires ``n_trials % 1024 == 0``; `make_propagator`
+    dispatches here when shapes allow.
+    """
+    if not fused_tiled_supported(tree):
+        raise ValueError(
+            f"tree ({tree.n_gates} gates + {tree.n_basic} basics) "
+            "exceeds the tiled fused kernel's VMEM budget")
+    n_trials, n_basic = basic_p.shape
+    if n_trials % _TILE_TRIALS:
+        raise ValueError("tiled fused kernel needs n_trials % 1024 == 0")
+    ops = _emit_gate_ops(tree)
+    house = np.asarray(house_states, dtype=np.float32)
+    n_tiles = n_trials // _TILE_TRIALS
+    kernel = _make_tiled_kernel(tree, ops, house)
+
     # Host layout: (n_tiles, n_basic, 8, 128) — tile-major so each grid
     # step reads one contiguous block.
     p_tiled = basic_p.astype(jnp.float32).T.reshape(
         n_basic, n_tiles, 8, 128).transpose(1, 0, 2, 3)
+    out = _tiled_call(tree, p_tiled, kernel, n_tiles, n_basic, interpret,
+                      pinned=False)
+    return out.reshape(n_trials)
+
+
+def _tiled_call(tree, p_tiled, kernel, n_tiles, n_basic, interpret,
+                pinned):
+    params = (pltpu.CompilerParams(has_side_effects=True) if pinned
+              else None)
     with jax.enable_x64(False):
-        out = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec((1, n_basic, 8, 128),
@@ -345,6 +362,37 @@ def fused_propagate_tiled(tree: CompiledTree, basic_p: jnp.ndarray,
                                            jnp.float32),
             scratch_shapes=[pltpu.VMEM((tree.n_gates, 8, 128),
                                        jnp.float32)],
+            compiler_params=params,
             interpret=interpret,
         )(p_tiled)
-    return out.reshape(n_trials)
+
+
+def tile_trials(basic_p: jnp.ndarray) -> jnp.ndarray:
+    """(n_trials, n_basic) -> the tiled kernel's input layout.
+
+    One full pass over the input matrix; hot loops tile once and call
+    :func:`fused_propagate_tiled_staged` (the transform costs ~3x the
+    kernel itself at production shapes — measured on v5e)."""
+    n_trials, n_basic = basic_p.shape
+    n_tiles = n_trials // _TILE_TRIALS
+    return basic_p.astype(jnp.float32).T.reshape(
+        n_basic, n_tiles, 8, 128).transpose(1, 0, 2, 3)
+
+
+def fused_propagate_tiled_staged(tree: CompiledTree, p_tiled: jnp.ndarray,
+                                 house_states: jnp.ndarray,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """:func:`fused_propagate_tiled` on a pre-tiled input.
+
+    The pallas_call carries ``has_side_effects`` so benchmark loops that
+    reuse one staged input cannot be hoisted out by XLA.
+    """
+    if not fused_tiled_supported(tree):
+        raise ValueError("tree exceeds the tiled fused kernel's budget")
+    n_tiles, n_basic, _s, _l = p_tiled.shape
+    ops = _emit_gate_ops(tree)
+    house = np.asarray(house_states, dtype=np.float32)
+    kernel = _make_tiled_kernel(tree, ops, house)
+    out = _tiled_call(tree, p_tiled, kernel, n_tiles, n_basic, interpret,
+                      pinned=True)
+    return out.reshape(n_tiles * _TILE_TRIALS)

@@ -55,16 +55,20 @@ def compile_bdd_stream(bdd, chunk_tiles: int = 256) -> StreamProgram:
     return build_bdd_stream_schedule(bdd, chunk_tiles=chunk_tiles)
 
 
-def stream_bdd_probability(program: StreamProgram, basic_p: jnp.ndarray,
+def stream_bdd_probability(program: StreamProgram, values: jnp.ndarray,
                            interpret: bool = False) -> jnp.ndarray:
     """Exact per-trial top probability over a BDD stream program.
 
-    ``basic_p``: (n_trials, n_basic), n_trials % 1024 == 0.  Exact for
-    shared-event models (same math as ``bdd_eval.bdd_probability``) at
-    the streaming kernel's rate.  Hot loops: ``stage_basic`` once and
-    call :func:`stream_propagate_staged` directly.
+    ``values``: (n_trials, >= max(program.stage_cols)+1) — the global
+    probability matrix; the program's ``stage_cols`` select the decision
+    variables it reads.  n_trials % 1024 == 0.  Exact for shared-event
+    models (same math as ``bdd_eval.bdd_probability``) at the streaming
+    kernel's rate.  Hot loops: ``stage_basic`` once and call
+    :func:`stream_propagate_staged` directly.
     """
-    return stream_propagate_staged(program, stage_basic(program, basic_p),
+    cols = values[:, jnp.asarray(program.stage_cols)] \
+        if program.stage_cols is not None else values
+    return stream_propagate_staged(program, stage_basic(program, cols),
                                    np.zeros(0, np.float32),
                                    interpret=interpret)
 

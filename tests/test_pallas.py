@@ -120,3 +120,21 @@ class TestFusedPropagateTiled:
             fused_propagate_tiled(tree, jnp.zeros((500, tree.n_basic)),
                                   tree.house_state_vector(),
                                   interpret=True)
+
+
+class TestFusedTiledStaged:
+    def test_matches_unstaged(self):
+        from canopy_tpu.ops.pallas_kernels import (
+            fused_propagate_tiled, fused_propagate_tiled_staged,
+            tile_trials)
+
+        tree = build_tree()
+        rng = np.random.default_rng(3)
+        batch = jnp.asarray(
+            rng.uniform(0, 1, (1024, tree.n_basic)), jnp.float32)
+        house = tree.house_state_vector()
+        a = fused_propagate_tiled(tree, batch, house, interpret=True)
+        staged = tile_trials(batch)
+        b = fused_propagate_tiled_staged(tree, staged, house,
+                                         interpret=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
