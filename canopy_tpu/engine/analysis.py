@@ -87,6 +87,7 @@ class SequenceResult:
     states: dict[str, str]
     probability: float
     linked_trees: list[str]
+    uncertainty: Optional[dict] = None
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -542,7 +543,13 @@ class RiskAnalysis:
 
         results = []
         cursor = 0
-        for outcome, gate in zip(outcomes, gates):
+        seq_unc = None
+        if roots and self.settings.uncertainty_analysis():
+            seq_unc = self._sequence_uncertainty(
+                initiating, outcomes, gates, tree, house_rows,
+                uniform_house, mission)
+
+        for k, (outcome, gate) in enumerate(zip(outcomes, gates)):
             probability = 1.0
             if getattr(initiating, "expression", None) is not None:
                 probability *= initiating.expression.value()
@@ -557,10 +564,98 @@ class RiskAnalysis:
                 sequence=outcome.sequence.name,
                 states=outcome.states,
                 probability=probability,
-                linked_trees=outcome.linked_trees))
+                linked_trees=outcome.linked_trees,
+                uncertainty=seq_unc.get(k) if seq_unc else None))
         self._timings[f"event-tree:{initiating.name}"] = \
             time.perf_counter() - t0
         return results
+
+    def _sequence_uncertainty(self, initiating, outcomes, gates, tree,
+                              house_rows, uniform_house,
+                              mission) -> dict[int, dict] | None:
+        """Per-sequence epistemic uncertainty over the shared structure.
+
+        One expression tape covers the fault-tree basics, the initiating
+        frequency, and every collected expression, so shared parameters
+        sample once per trial (the reference's memoize-per-trial
+        semantics, §3.3). Sequence condition tops evaluate exactly (BDD,
+        streamed on TPU) when the algorithm is BDD, else by direct
+        propagation — the same ladder as the point estimates.
+        """
+        settings = self.settings
+        init_expr = getattr(initiating, "expression", None)
+        extras = ([init_expr] if init_expr is not None else []) + \
+            [e for outcome in outcomes for e in outcome.expressions]
+        tape_u = ExpressionTape.build(
+            [e.expression for e in tree.basic_events] + extras)
+        if not tape_u.n_deviates:
+            return None
+        n_trials = settings.num_trials()
+        import zlib
+        key = jax.random.fold_in(  # crc32: stable across processes,
+            jax.random.PRNGKey(settings.seed()),   # unlike str hash().
+            int(zlib.crc32(initiating.name.encode()) & 0x7FFFFFFF))
+        samples = tape_u.sample(key, n_trials, mission)
+        basic_s = jnp.clip(samples[:, :tree.n_basic], 0.0, 1.0)
+        col = tree.n_basic
+        init_s = None
+        if init_expr is not None:
+            init_s = samples[:, col]
+            col += 1
+
+        live_gates = [g for g in gates if g is not None]
+        root_slots = [tree.gate_index[g.id] for g in live_gates]
+        top_trials: dict[int, jnp.ndarray] = {}
+        if settings.algorithm() == Algorithm.BDD:
+            try:
+                from .bdd_eval import make_bdd_evaluator
+                for k, (gate, hrow) in enumerate(zip(live_gates,
+                                                     house_rows)):
+                    tree.top_index = tree.gate_index[gate.id]
+                    bdd = build_bdd(tree, house_states=hrow)
+                    top_trials[k] = make_bdd_evaluator(bdd)(basic_s)
+            except BddBlowupError:
+                top_trials = {}
+        if len(top_trials) != len(live_gates):
+            top_trials = {}
+            if uniform_house:
+                vals = propagate_probability(
+                    tree, basic_s, jnp.asarray(house_rows[0]))
+                for k, slot in enumerate(root_slots):
+                    top_trials[k] = vals[:, slot]
+            else:
+                for k, (slot, hrow) in enumerate(zip(root_slots,
+                                                     house_rows)):
+                    vals = propagate_probability(tree, basic_s,
+                                                 jnp.asarray(hrow))
+                    top_trials[k] = vals[:, slot]
+
+        out: dict[int, dict] = {}
+        cursor = 0
+        for k, (outcome, gate) in enumerate(zip(outcomes, gates)):
+            trial = jnp.ones((n_trials,), jnp.float64)
+            if init_s is not None:
+                trial = trial * init_s
+            for _expr in outcome.expressions:
+                trial = trial * samples[:, col]
+                col += 1
+            if gate is not None:
+                trial = trial * top_trials[cursor]
+                cursor += 1
+            out[k] = _summary_stats(np.asarray(trial, np.float64))
+        return out
+
+
+def _summary_stats(arr: np.ndarray) -> dict:
+    lo, hi = (np.quantile(arr, [0.025, 0.975]) if len(arr) > 1
+              else (arr[0], arr[0]))
+    median = float(np.median(arr))
+    p95 = float(np.quantile(arr, 0.95))
+    return {"mean": float(arr.mean()),
+            "std": float(arr.std(ddof=1)) if len(arr) > 1 else 0.0,
+            "ci95": [float(lo), float(hi)],
+            "error_factor": (p95 / median if median > 0 else float("inf")),
+            "n_trials": int(len(arr))}
 
 
 class _FaultTreeView:

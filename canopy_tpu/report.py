@@ -117,6 +117,14 @@ def report_to_xml(report: Report) -> bytes:
             for functional_event, state in seq.states.items():
                 _sub(element, "functional-event", name=functional_event,
                      state=state)
+            if getattr(seq, "uncertainty", None):
+                unc = seq.uncertainty
+                _sub(element, "uncertainty", mean=unc["mean"],
+                     standard_deviation=unc["std"],
+                     error_factor=unc["error_factor"],
+                     lower_bound=unc["ci95"][0],
+                     upper_bound=unc["ci95"][1],
+                     trials=unc["n_trials"])
 
     return etree.tostring(root, pretty_print=True,
                           xml_declaration=True, encoding="UTF-8")

@@ -170,3 +170,51 @@ class TestUncertaintyWithApproximation:
         exact = expected_demo_probability()
         assert unc["mean"] > exact * 0.5
         assert base.method == "mocus/rare_event"
+
+
+class TestSequenceUncertainty:
+    def test_sequences_carry_uncertainty(self):
+        settings = (Settings().uncertainty_analysis(True)
+                    .ccf_analysis(True).num_trials(1024).seed(11))
+        model = load_demo(settings)
+        report = RiskAnalysis(model, settings).run()
+        by_name = {s.sequence: s for s in report.sequences}
+        cd = by_name["CoreDamage"]
+        assert cd.uncertainty is not None
+        unc = cd.uncertainty
+        assert unc["n_trials"] == 1024
+        # Sampled mean tracks the point estimate (lognormal EF spread).
+        assert abs(unc["mean"] - cd.probability) < 0.5 * cd.probability
+        assert unc["ci95"][0] <= unc["mean"] <= unc["ci95"][1]
+        assert unc["std"] > 0.0
+        # Complementary sequence: trial-wise 1 - CoreDamage.
+        ok = by_name["OK"]
+        assert ok.uncertainty is not None
+        assert abs(ok.uncertainty["mean"] + unc["mean"] - 1.0) < 1e-6
+
+    def test_deterministic_per_seed(self):
+        settings = (Settings().uncertainty_analysis(True)
+                    .ccf_analysis(True).num_trials(256).seed(3))
+        model = load_demo(settings)
+        a = RiskAnalysis(model, settings).run()
+        model2 = load_demo(settings)
+        b = RiskAnalysis(model2, settings).run()
+        ua = [s.uncertainty for s in a.sequences]
+        ub = [s.uncertainty for s in b.sequences]
+        assert ua == ub
+
+    def test_report_schema_with_sequence_uncertainty(self):
+        import os
+        import canopy_tpu.schemas as schemas
+        from canopy_tpu.report import report_to_xml
+        from canopy_tpu.io.xml import Document, Validator
+
+        settings = (Settings().uncertainty_analysis(True)
+                    .ccf_analysis(True).num_trials(128).seed(5))
+        model = load_demo(settings)
+        report = RiskAnalysis(model, settings).run()
+        xml = report_to_xml(report)
+        assert b"<uncertainty " in xml
+        schema = os.path.join(os.path.dirname(schemas.__file__),
+                              "report.rng")
+        Validator(schema).validate(Document.from_string(xml.decode()))
