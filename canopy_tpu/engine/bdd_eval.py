@@ -43,8 +43,15 @@ def bdd_probability(bdd: CompiledBdd, basic_p: jnp.ndarray) -> jnp.ndarray:
     return vals[..., bdd.root_ptr]
 
 
+#: Below this node count the level-scheduled evaluation is already
+#: cheap and a Mosaic kernel compile (tens of seconds remotely) never
+#: pays for itself.
+_STREAM_MIN_NODES = 256
+
+
 def make_bdd_evaluator(bdd: CompiledBdd, engine: str = "auto",
-                       _interpret: bool = False):
+                       _interpret: bool = False,
+                       min_nodes: int = _STREAM_MIN_NODES):
     """A jitted exact evaluator ``f(basic_p) -> top probability``.
 
     On a TPU backend with a schedulable BDD, (n_trials, n_basic) batches
@@ -55,7 +62,8 @@ def make_bdd_evaluator(bdd: CompiledBdd, engine: str = "auto",
     """
     program = None
     if engine in ("auto", "stream") and \
-            (jax.default_backend() == "tpu" or _interpret):
+            (jax.default_backend() == "tpu" or _interpret) and \
+            (bdd.n_nodes >= min_nodes or engine == "stream"):
         from ..errors import LogicError
         from ..ops.stream_kernel import compile_bdd_stream
         try:
@@ -75,7 +83,8 @@ def make_bdd_evaluator(bdd: CompiledBdd, engine: str = "auto",
 
 
 def make_modular_evaluator(modular, engine: str = "auto",
-                           _interpret: bool = False):
+                           _interpret: bool = False,
+                           min_nodes: int = _STREAM_MIN_NODES):
     """A jitted exact evaluator over a modular BDD chain.
 
     Like :func:`make_bdd_evaluator` but for
@@ -100,6 +109,10 @@ def make_modular_evaluator(modular, engine: str = "auto",
                            (1 if bdd.root_ptr == 1 else 0))
                 if root <= 1:
                     programs.append((float(root), out_slot))
+                elif bdd.n_nodes < min_nodes and engine != "stream":
+                    # Tiny module: the level evaluation beats a kernel
+                    # compile; mixed chains are fine (same value matrix).
+                    programs.append((bdd, out_slot))
                 else:
                     programs.append((compile_bdd_stream(bdd), out_slot))
         except LogicError:
@@ -121,6 +134,8 @@ def make_modular_evaluator(modular, engine: str = "auto",
         for program, out_slot in programs:
             if isinstance(program, float):
                 value = jnp.full((n_trials,), program, jnp.float32)
+            elif isinstance(program, CompiledBdd):
+                value = bdd_probability(program, vals).astype(jnp.float32)
             else:
                 value = stream_bdd_probability(program, vals,
                                                interpret=_interpret)

@@ -324,7 +324,7 @@ class TestModularStream:
         tree = self._modular_model()
         modular = build_modular_bdd(tree)
         assert len(modular.chain) > 1  # Real module decomposition.
-        fn = make_modular_evaluator(modular, _interpret=True)
+        fn = make_modular_evaluator(modular, _interpret=True, min_nodes=0)
         rng = np.random.default_rng(4)
         basic = jnp.asarray(
             rng.uniform(0.0, 1.0, (1024, tree.n_basic)), jnp.float32)
@@ -339,7 +339,7 @@ class TestModularStream:
 
         tree = self._modular_model()
         modular = build_modular_bdd(tree)
-        fn = make_modular_evaluator(modular, _interpret=True)
+        fn = make_modular_evaluator(modular, _interpret=True, min_nodes=0)
         rng = np.random.default_rng(5)
         basic = jnp.asarray(
             rng.uniform(0.0, 1.0, (100, tree.n_basic)), jnp.float32)
@@ -358,7 +358,7 @@ class TestModularStream:
         tree = compile_gates([top])
         tree.top_index = tree.gate_index[top.id]
         modular = build_modular_bdd(tree)
-        fn = make_modular_evaluator(modular, _interpret=True)
+        fn = make_modular_evaluator(modular, _interpret=True, min_nodes=0)
         rng = np.random.default_rng(6)
         basic = jnp.asarray(
             rng.uniform(0.0, 1.0, (1024, tree.n_basic)), jnp.float32)
