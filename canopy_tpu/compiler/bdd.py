@@ -262,6 +262,13 @@ class CompiledBdd:
     def depth(self) -> int:
         return len(self.levels)
 
+    def resolved_root(self) -> int:
+        """The raw-array root index; 0/1 for trivially-constant BDDs
+        (whose node arrays are empty, so ``root`` is meaningless)."""
+        if self.n_nodes:
+            return int(self.root)
+        return 1 if self.root_ptr == 1 else 0
+
 
 def build_bdd(tree: CompiledTree, max_nodes: int = 2_000_000,
               house_states=None, use_native: bool | None = None

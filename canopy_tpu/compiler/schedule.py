@@ -152,8 +152,7 @@ def build_bdd_stream_schedule(bdd, chunk_tiles: int = 256) -> StreamProgram:
     """
     if bdd.raw_var is None:
         raise LogicError("CompiledBdd is missing raw node arrays")
-    root = int(bdd.root if bdd.n_nodes else
-               (1 if bdd.root_ptr == 1 else 0))
+    root = bdd.resolved_root()
     if root <= 1:
         raise LogicError("constant BDD: nothing to stream")
     var_arr, low_arr, high_arr = bdd.raw_var, bdd.raw_low, bdd.raw_high
@@ -267,12 +266,13 @@ def _build_schedule(gate_rows, n_basic: int, n_house: int, top_index: int,
     # (which land right after chunk c-2's wait).
     chunk_last_stage_read = [0] * n_chunks
     for c in range(n_active):
-        g = chunk_first_use[c] if chunk_first_use[c] < n_ops else 0
-        for s, pos in stage_pos.items():
-            if pos // chunk_tiles == c and s in last_use \
-                    and s not in spilled:
-                g = max(g, last_use[s])
-        chunk_last_stage_read[c] = g
+        chunk_last_stage_read[c] = \
+            chunk_first_use[c] if chunk_first_use[c] < n_ops else 0
+    for s, g_last in last_use.items():
+        if s not in spilled:
+            c = chunk_of[s]
+            if g_last > chunk_last_stage_read[c]:
+                chunk_last_stage_read[c] = g_last
 
     # Events attached before each gate op (priority: starts, waits,
     # spills, then the gate itself).

@@ -33,9 +33,11 @@ __all__ = ["bdd_minimal_cut_sets"]
 
 
 def _native_minimal_cut_sets(bdd: CompiledBdd, limit_order: int,
-                             max_products: int) -> list[frozenset] | None:
-    """C++ ZDD minsol path (``native/bdd.cpp``); None = unavailable or
-    the ZDD overflowed (caller falls back to the Python transform)."""
+                             max_products: int
+                             ) -> tuple[list[frozenset], bool] | None:
+    """C++ ZDD minsol path (``native/bdd.cpp``) -> (products, truncated);
+    None = unavailable or the ZDD overflowed (caller falls back to the
+    Python transform)."""
     from ..native import load_bdd_library
 
     lib = load_bdd_library()
@@ -44,8 +46,7 @@ def _native_minimal_cut_sets(bdd: CompiledBdd, limit_order: int,
     var_arr = np.ascontiguousarray(bdd.raw_var, dtype=np.int32)
     low_arr = np.ascontiguousarray(bdd.raw_low, dtype=np.int32)
     high_arr = np.ascontiguousarray(bdd.raw_high, dtype=np.int32)
-    root = int(bdd.root if bdd.n_nodes else
-               (1 if bdd.root_ptr == 1 else 0))
+    root = bdd.resolved_root()
     as_ptr = lambda a: a.ctypes.data_as(  # noqa: E731
         ctypes.POINTER(ctypes.c_int32))
     handle = lib.canopy_minsol(
@@ -55,6 +56,7 @@ def _native_minimal_cut_sets(bdd: CompiledBdd, limit_order: int,
     try:
         if lib.canopy_minsol_overflow(handle):
             return None
+        truncated = bool(lib.canopy_minsol_truncated(handle))
         n = lib.canopy_minsol_count(handle)
         total = lib.canopy_minsol_total(handle)
         lens = np.zeros(max(int(n), 1), dtype=np.int32)
@@ -70,31 +72,37 @@ def _native_minimal_cut_sets(bdd: CompiledBdd, limit_order: int,
             (slot_of_var[int(v)], False)
             for v in flat[offset:offset + int(k)]))
         offset += int(k)
-    return out
+    return out, truncated
 
 
 def bdd_minimal_cut_sets(bdd: CompiledBdd, limit_order: int = 20,
                          use_native: bool | None = None,
-                         max_products: int = 2_000_000
-                         ) -> list[frozenset]:
+                         max_products: int = 2_000_000,
+                         with_truncation: bool = False):
     """Minimal products (as frozensets of (basic_slot, False) literals).
 
     Requires the raw node arrays on the CompiledBdd (``raw_var`` etc.,
     attached by ``build_bdd``).  The native (C++ ZDD) path is used when
     available — the explicit-set Python recursion below is its oracle.
+
+    ``with_truncation=True`` returns ``(products, truncated)`` where
+    ``truncated`` reports solutions dropped by ``limit_order`` or the
+    ``max_products`` cap.
     """
     if bdd.raw_var is None:
         raise LogicError("CompiledBdd is missing raw node arrays.")
     if use_native is None or use_native:
         native = _native_minimal_cut_sets(bdd, limit_order, max_products)
         if native is not None:
-            return native
+            products, truncated = native
+            return (products, truncated) if with_truncation else products
         if use_native:
             raise LogicError("native minsol unavailable or overflowed")
     var_arr, low_arr, high_arr = bdd.raw_var, bdd.raw_low, bdd.raw_high
     slot_of_var = bdd.slot_of_var
 
     memo: dict[int, list[frozenset]] = {}
+    truncated = False
 
     def subsume(solutions: list[frozenset],
                 against: list[frozenset]) -> list[frozenset]:
@@ -120,10 +128,12 @@ def bdd_minimal_cut_sets(bdd: CompiledBdd, limit_order: int = 20,
         low_sols = rec(int(low_arr[node]))
         high_sols = rec(int(high_arr[node]))
         literal = (slot_of_var[int(var_arr[node])], False)
-        with_var = [
-            frozenset(c | {literal})
-            for c in subsume(high_sols, low_sols)
-            if len(c) < limit_order]
+        nonlocal truncated
+        survivors = subsume(high_sols, low_sols)
+        kept = [c for c in survivors if len(c) < limit_order]
+        if len(kept) < len(survivors):
+            truncated = True
+        with_var = [frozenset(c | {literal}) for c in kept]
         result = minimize(low_sols + with_var)
         memo[node] = result
         return result
@@ -136,7 +146,7 @@ def bdd_minimal_cut_sets(bdd: CompiledBdd, limit_order: int = 20,
     if needed > limit:
         sys.setrecursionlimit(needed)
     try:
-        return rec(bdd.root if bdd.n_nodes else
-                   (1 if bdd.root_ptr == 1 else 0))
+        products = rec(bdd.resolved_root())
     finally:
         sys.setrecursionlimit(limit)
+    return (products, truncated) if with_truncation else products

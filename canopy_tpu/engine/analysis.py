@@ -233,6 +233,7 @@ class RiskAnalysis:
                 if settings.approximation() != Approximation.NONE else 0.0,
                 probabilities=np.asarray(mean_p))
             products = None
+            bdd_truncated = None
             if top_fn is not None and not settings.prime_implicants():
                 # Exact minimal cut sets via the ZBDD minimal-solutions
                 # transform over a monolithic BDD (module pseudo-events
@@ -240,8 +241,9 @@ class RiskAnalysis:
                 try:
                     from ..compiler.zbdd import bdd_minimal_cut_sets
                     bdd = build_bdd(tree, house_states=np.asarray(house))
-                    products = bdd_minimal_cut_sets(
-                        bdd, limit_order=settings.limit_order())
+                    products, bdd_truncated = bdd_minimal_cut_sets(
+                        bdd, limit_order=settings.limit_order(),
+                        with_truncation=True)
                 except BddBlowupError:
                     products = None
             if products is None:
@@ -255,7 +257,9 @@ class RiskAnalysis:
                     frozenset(lit for lit in p if not lit[1])
                     for p in products)
             products = self._apply_substitutions(tree, products)
-            result.products_truncated = generator.truncated
+            result.products_truncated = (bdd_truncated
+                                         if bdd_truncated is not None
+                                         else generator.truncated)
             result.n_products = len(products)
             self._timings[f"products:{top.id}"] = time.perf_counter() - t0
 
@@ -511,27 +515,34 @@ class RiskAnalysis:
                 all((h == house_rows[0]).all() for h in house_rows))
             use_bdd = self.settings.algorithm() == Algorithm.BDD
             values = None
+            root_bdds = None
             if use_bdd and uniform_house:
                 try:
                     bdd_cache: dict[int, float] = {}
+                    root_bdds = []
                     for k, gate in enumerate(g for g in gates
                                              if g is not None):
                         tree.top_index = tree.gate_index[gate.id]
                         bdd = build_bdd(tree, house_states=house_rows[0])
+                        root_bdds.append(bdd)
                         bdd_cache[k] = float(bdd_probability(bdd, mean_p))
                     values = bdd_cache
                 except BddBlowupError:
                     values = None
+                    root_bdds = None
             if values is None and use_bdd and not uniform_house:
                 try:
                     values = {}
+                    root_bdds = []
                     for k, gate in enumerate(g for g in gates
                                              if g is not None):
                         tree.top_index = tree.gate_index[gate.id]
                         bdd = build_bdd(tree, house_states=house_rows[k])
+                        root_bdds.append(bdd)
                         values[k] = float(bdd_probability(bdd, mean_p))
                 except BddBlowupError:
                     values = None
+                    root_bdds = None
             if values is None:
                 # One batched propagation: row k uses house vector k.
                 all_vals = propagate_probability(tree, mean_p[None, :],
@@ -547,7 +558,7 @@ class RiskAnalysis:
         if roots and self.settings.uncertainty_analysis():
             seq_unc = self._sequence_uncertainty(
                 initiating, outcomes, gates, tree, house_rows,
-                uniform_house, mission)
+                uniform_house, mission, root_bdds)
 
         for k, (outcome, gate) in enumerate(zip(outcomes, gates)):
             probability = 1.0
@@ -571,16 +582,18 @@ class RiskAnalysis:
         return results
 
     def _sequence_uncertainty(self, initiating, outcomes, gates, tree,
-                              house_rows, uniform_house,
-                              mission) -> dict[int, dict] | None:
+                              house_rows, uniform_house, mission,
+                              root_bdds=None) -> dict[int, dict] | None:
         """Per-sequence epistemic uncertainty over the shared structure.
 
         One expression tape covers the fault-tree basics, the initiating
         frequency, and every collected expression, so shared parameters
         sample once per trial (the reference's memoize-per-trial
-        semantics, §3.3). Sequence condition tops evaluate exactly (BDD,
-        streamed on TPU) when the algorithm is BDD, else by direct
-        propagation — the same ladder as the point estimates.
+        semantics, §3.3). Sequence condition tops evaluate exactly over
+        the BDDs the point estimates already built (``root_bdds``,
+        streamed on TPU); otherwise by direct propagation, and each
+        sequence's dict carries a ``method`` field so demotion from the
+        exactness ladder is never silent.
         """
         settings = self.settings
         init_expr = getattr(initiating, "expression", None)
@@ -606,18 +619,17 @@ class RiskAnalysis:
         live_gates = [g for g in gates if g is not None]
         root_slots = [tree.gate_index[g.id] for g in live_gates]
         top_trials: dict[int, jnp.ndarray] = {}
-        if settings.algorithm() == Algorithm.BDD:
-            try:
-                from .bdd_eval import make_bdd_evaluator
-                for k, (gate, hrow) in enumerate(zip(live_gates,
-                                                     house_rows)):
-                    tree.top_index = tree.gate_index[gate.id]
-                    bdd = build_bdd(tree, house_states=hrow)
-                    top_trials[k] = make_bdd_evaluator(bdd)(basic_s)
-            except BddBlowupError:
-                top_trials = {}
+        method = "bdd"
+        if root_bdds is not None:
+            # Reuse the exact BDDs the point estimates built (uniform
+            # house: one per root with shared states; non-uniform: one
+            # per root with its own states) — no rebuild.
+            from .bdd_eval import make_bdd_evaluator
+            for k, bdd in enumerate(root_bdds):
+                top_trials[k] = make_bdd_evaluator(bdd)(basic_s)
         if len(top_trials) != len(live_gates):
             top_trials = {}
+            method = "direct-propagation"
             if uniform_house:
                 vals = propagate_probability(
                     tree, basic_s, jnp.asarray(house_rows[0]))
@@ -643,6 +655,8 @@ class RiskAnalysis:
                 trial = trial * top_trials[cursor]
                 cursor += 1
             out[k] = _summary_stats(np.asarray(trial, np.float64))
+            out[k]["method"] = method if gate is not None \
+                else "expression"
         return out
 
 

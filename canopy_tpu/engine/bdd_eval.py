@@ -105,8 +105,7 @@ def make_modular_evaluator(modular, engine: str = "auto",
         try:
             programs = []
             for bdd, out_slot in modular.chain:
-                root = int(bdd.root if bdd.n_nodes else
-                           (1 if bdd.root_ptr == 1 else 0))
+                root = bdd.resolved_root()
                 if root <= 1:
                     programs.append((float(root), out_slot))
                 elif bdd.n_nodes < min_nodes and engine != "stream":

@@ -269,6 +269,10 @@ def make_propagator(tree: CompiledTree, output: str = "top",
         house = _build_house(tree, house_states)
 
         def fn(basic_p, house_states=None):
+            if house_states is not None:
+                raise ValueError(
+                    "the stream engine bakes house states at build time; "
+                    "pass them to make_propagator(house_states=...)")
             # Shapes are static under jit; trial counts off the tile
             # grid fall back to the gather engine.
             if basic_p.shape[0] % 1024 == 0:
@@ -285,6 +289,9 @@ def make_propagator(tree: CompiledTree, output: str = "top",
         program = compile_block_gather(tree)
 
         def fn(basic_p, house_states=None):
+            if house_states is not None:
+                raise ValueError(
+                    "the block engine supports no house events")
             return block_gather_propagate(program, basic_p)
         return jax.jit(fn)
     if engine == "fused":

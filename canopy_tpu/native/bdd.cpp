@@ -253,6 +253,12 @@ struct Forest {
 
 namespace {
 
+// Recursion guard for union_/without: depth scales with the variable
+// count, and a C-stack overflow would kill the process instead of
+// falling back; past this bound the Zdd flags overflow and the Python
+// caller uses its own (recursion-limit-raised) transform.
+constexpr int32_t kMaxZddDepth = 20000;
+
 struct Zdd {
   int32_t n_vars;
   int64_t max_nodes;
@@ -261,6 +267,7 @@ struct Zdd {
   HashTable union_memo;
   HashTable without_memo;
   bool overflow = false;
+  int32_t depth = 0;
 
   Zdd(int32_t nv, int64_t mx) : n_vars(nv), max_nodes(mx) {
     var = {nv, nv};
@@ -301,6 +308,11 @@ struct Zdd {
                       static_cast<uint32_t>(b);
     uint32_t memo = union_memo.find(key_lo, 1);
     if (memo != kEmpty) return static_cast<int32_t>(memo);
+    if (++depth > kMaxZddDepth) {
+      overflow = true;
+      --depth;
+      return kZero;
+    }
     int32_t va = var[a], vb = var[b], r;
     if (va < vb) {
       r = mk(va, union_(lo[a], b), hi[a]);
@@ -309,6 +321,7 @@ struct Zdd {
     } else {
       r = mk(va, union_(lo[a], lo[b]), union_(hi[a], hi[b]));
     }
+    --depth;
     union_memo.insert(key_lo, 1, static_cast<uint32_t>(r));
     return r;
   }
@@ -322,6 +335,11 @@ struct Zdd {
                       static_cast<uint32_t>(b);
     uint32_t memo = without_memo.find(key_lo, 2);
     if (memo != kEmpty) return static_cast<int32_t>(memo);
+    if (++depth > kMaxZddDepth) {
+      overflow = true;
+      --depth;
+      return kZero;
+    }
     int32_t va = var[a], vb = var[b], r;
     if (vb < va) {
       // Sets of b containing vb cannot be subsets of va-rooted sets.
@@ -332,6 +350,7 @@ struct Zdd {
       r = mk(va, without(lo[a], lo[b]),
              without(hi[a], union_(lo[b], hi[b])));
     }
+    --depth;
     without_memo.insert(key_lo, 2, static_cast<uint32_t>(r));
     return r;
   }

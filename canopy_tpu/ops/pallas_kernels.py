@@ -338,8 +338,7 @@ def fused_propagate_tiled(tree: CompiledTree, basic_p: jnp.ndarray,
 
     # Host layout: (n_tiles, n_basic, 8, 128) — tile-major so each grid
     # step reads one contiguous block.
-    p_tiled = basic_p.astype(jnp.float32).T.reshape(
-        n_basic, n_tiles, 8, 128).transpose(1, 0, 2, 3)
+    p_tiled = tile_trials(basic_p)
     out = _tiled_call(tree, p_tiled, kernel, n_tiles, n_basic, interpret,
                       pinned=False)
     return out.reshape(n_trials)

@@ -138,3 +138,29 @@ class TestNativeMinsol:
         bdd = build_bdd(compiled(top))
         cuts = bdd_minimal_cut_sets(bdd, use_native=True, max_products=3)
         assert len(cuts) == 3
+
+    def test_truncation_reported(self):
+        from canopy_tpu.native import native_available
+
+        events = make_events([0.5] * 5)
+        top = Gate("topt")
+        top.formula = Formula(Connective.AND, [Arg(e) for e in events])
+        bdd = build_bdd(compiled(top))
+        for native in ([True] if native_available() else []) + [False]:
+            products, truncated = bdd_minimal_cut_sets(
+                bdd, limit_order=3, use_native=native,
+                with_truncation=True)
+            assert products == [] and truncated, native
+            products, truncated = bdd_minimal_cut_sets(
+                bdd, limit_order=10, use_native=native,
+                with_truncation=True)
+            assert len(products) == 1 and not truncated, native
+        if native_available():
+            wide = make_events([0.1] * 8)
+            top2 = Gate("topw")
+            top2.formula = Formula(Connective.OR, [Arg(e) for e in wide])
+            bdd2 = build_bdd(compiled(top2))
+            products, truncated = bdd_minimal_cut_sets(
+                bdd2, use_native=True, max_products=3,
+                with_truncation=True)
+            assert len(products) == 3 and truncated
