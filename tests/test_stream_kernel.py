@@ -366,3 +366,29 @@ class TestModularStream:
             np.asarray(fn(basic)),
             np.asarray(modular_probability(modular, basic), np.float32),
             rtol=2e-6, atol=1e-7)
+
+
+class TestPropagatorDispatch:
+    def test_explicit_stream_rejects_house_override(self):
+        from canopy_tpu.engine.propagate import make_propagator
+
+        tree = mixed_tree(n_house=1)
+        fn = make_propagator(tree, engine="stream")
+        basic = jnp.zeros((1024, tree.n_basic), jnp.float32)
+        with pytest.raises(ValueError):
+            fn(basic, jnp.asarray([1.0]))
+
+    def test_build_time_house_states(self):
+        from canopy_tpu.engine.propagate import (make_propagator,
+                                                 top_event_probability)
+
+        tree = mixed_tree(n_house=1)
+        rng = np.random.default_rng(2)
+        basic = jnp.asarray(
+            rng.uniform(0, 1, (8, tree.n_basic)), jnp.float32)
+        for hs in (0.0, 1.0):
+            fn = make_propagator(tree, house_states=np.asarray([hs]))
+            got = np.asarray(fn(basic))
+            want = np.asarray(top_event_probability(
+                tree, basic, jnp.asarray([hs])))
+            np.testing.assert_allclose(got, want, rtol=1e-12)
