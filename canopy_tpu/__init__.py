@@ -9,7 +9,7 @@ importance via autodiff, cut-set generation and approximations — scaling
 over `jax.sharding` meshes.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 # Risk quantification routinely works with probabilities at the 1e-9..1e-2
 # scale and 1e-8 cut-offs; float64 is the correctness default. Performance
