@@ -79,6 +79,7 @@ class StreamProgram:
     n_basic_pad: int          # n_chunks * chunk_tiles.
     chunk_tiles: int
     n_chunks: int
+    n_bufs: int               # Staging ring depth (op buf = chunk % n_bufs).
     pool_slots: int
     top_slot: int             # Pool slot holding the top value at the end.
     nnz: int
@@ -89,7 +90,7 @@ class StreamProgram:
 
     @property
     def vmem_bytes(self) -> int:
-        bufs = min(self.n_chunks, 2)
+        bufs = min(self.n_chunks, self.n_bufs)
         return (bufs * self.chunk_tiles + self.pool_slots) * _TILE_BYTES
 
 
@@ -126,8 +127,8 @@ def _emit_gate_ops(tree: CompiledTree):
     return ops
 
 
-def build_stream_schedule(tree: CompiledTree,
-                          chunk_tiles: int = 256) -> StreamProgram:
+def build_stream_schedule(tree: CompiledTree, chunk_tiles: int = 256,
+                          n_bufs: int = 3) -> StreamProgram:
     """Compile ``tree`` into a :class:`StreamProgram`.
 
     Raises :class:`LogicError` when the tree needs more pool slots than
@@ -137,10 +138,12 @@ def build_stream_schedule(tree: CompiledTree,
     if tree.top_index is None:
         raise LogicError("stream schedule needs an anchored top event")
     return _build_schedule(_emit_gate_ops(tree), tree.n_basic,
-                           tree.n_house, tree.top_index, chunk_tiles)
+                           tree.n_house, tree.top_index, chunk_tiles,
+                           n_bufs)
 
 
-def build_bdd_stream_schedule(bdd, chunk_tiles: int = 256) -> StreamProgram:
+def build_bdd_stream_schedule(bdd, chunk_tiles: int = 256,
+                              n_bufs: int = 3) -> StreamProgram:
     """Schedule an exact ROBDD evaluation as a streaming program.
 
     Every BDD node is one fused ``mux`` op — ``p*hi + (1-p)*lo``, the
@@ -180,13 +183,14 @@ def build_bdd_stream_schedule(bdd, chunk_tiles: int = 256) -> StreamProgram:
             (local_of_var[int(var_arr[n])], False),
             (n_b + int(high_arr[n]), False),
             (n_b + int(low_arr[n]), False)], None))
-    program = _build_schedule(rows, n_b, 0, n_b + root, chunk_tiles)
+    program = _build_schedule(rows, n_b, 0, n_b + root, chunk_tiles,
+                              n_bufs)
     program.stage_cols = stage_cols
     return program
 
 
 def _build_schedule(gate_rows, n_basic: int, n_house: int, top_index: int,
-                    chunk_tiles: int) -> StreamProgram:
+                    chunk_tiles: int, n_bufs: int = 3) -> StreamProgram:
     if n_basic == 0:
         raise LogicError("stream schedule needs at least one basic event")
 
@@ -252,18 +256,19 @@ def _build_schedule(gate_rows, n_basic: int, n_house: int, top_index: int,
         c = chunk_of[s]
         chunk_first_use[c] = min(chunk_first_use[c], g)
 
-    # Spill rule: with two buffers, chunk c's staging tiles die when
-    # chunk c+2 starts loading; any basic read at or past chunk c+2's
-    # first use must move to the pool.
+    # Spill rule: with an n_bufs-deep staging ring, chunk c's tiles die
+    # when chunk c+n_bufs starts loading; any basic read at or past that
+    # chunk's first use must move to the pool.
     spilled: set[int] = set()
     for s, g_last in last_use.items():
         c = chunk_of[s]
-        if c + 2 < n_active and g_last >= chunk_first_use[c + 2]:
+        if c + n_bufs < n_active \
+                and g_last >= chunk_first_use[c + n_bufs]:
             spilled.add(s)
 
     # DMA start placement: chunk c may start once every staging read of
-    # chunk c-2 is done — non-spilled last uses plus the spill copies
-    # (which land right after chunk c-2's wait).
+    # chunk c-n_bufs is done — non-spilled last uses plus the spill
+    # copies (which land right after that chunk's wait).
     chunk_last_stage_read = [0] * n_chunks
     for c in range(n_active):
         chunk_last_stage_read[c] = \
@@ -279,16 +284,18 @@ def _build_schedule(gate_rows, n_basic: int, n_house: int, top_index: int,
     starts_before: list[list[int]] = [[] for _ in range(n_ops + 1)]
     waits_before: list[list[int]] = [[] for _ in range(n_ops + 1)]
     for c in range(n_active):
-        at = 0 if c < 2 else min(chunk_last_stage_read[c - 2] + 1, n_ops)
+        at = 0 if c < n_bufs else \
+            min(chunk_last_stage_read[c - n_bufs] + 1, n_ops)
         w = chunk_first_use[c] if chunk_first_use[c] < n_ops else n_ops
         if at > w:
-            # A single gate's arguments span three staging chunks (its
-            # buffer would have to load while still being read): no
-            # valid double-buffered schedule exists.
+            # A single gate's arguments span more staging chunks than
+            # the ring holds (its buffer would have to load while still
+            # being read): no valid schedule exists at this depth.
             raise LogicError(
                 f"stream schedule: chunk {c} must start after op {at} "
-                f"but is needed at op {w} (gate fan-in spans 3+ chunks "
-                f"of {chunk_tiles} tiles) — use the gather engine")
+                f"but is needed at op {w} (gate fan-in spans over "
+                f"{n_bufs} chunks of {chunk_tiles} tiles) — use the "
+                "gather engine")
         starts_before[at].append(c)
         waits_before[w].append(c)
 
@@ -320,7 +327,7 @@ def _build_schedule(gate_rows, n_basic: int, n_house: int, top_index: int,
     frees_at: dict[int, list[int]] = {}   # gate index -> value slots to free
 
     def emit_chunk_events(c: int):
-        buf = c % 2
+        buf = c % n_bufs
         ops.append(("wait", c, buf))
         for s in sorted(spills_of_chunk.get(c, ()),
                         key=stage_pos.__getitem__):
@@ -331,7 +338,7 @@ def _build_schedule(gate_rows, n_basic: int, n_house: int, top_index: int,
 
     for g in range(n_ops + 1):
         for c in sorted(starts_before[g]):
-            ops.append(("start", c, c % 2))
+            ops.append(("start", c, c % n_bufs))
         for c in sorted(waits_before[g]):
             emit_chunk_events(c)
         if g == n_ops:
@@ -344,7 +351,8 @@ def _build_schedule(gate_rows, n_basic: int, n_house: int, top_index: int,
                     locs.append((("pool", slot_of[arg_slot]), flag))
                 else:
                     pos = stage_pos[arg_slot]
-                    locs.append((("stage", (pos // chunk_tiles) % 2,
+                    locs.append((("stage",
+                                  (pos // chunk_tiles) % n_bufs,
                                   pos % chunk_tiles), flag))
             elif arg_slot < n_b + n_h:
                 locs.append((("house", arg_slot - n_b), flag))
@@ -362,7 +370,7 @@ def _build_schedule(gate_rows, n_basic: int, n_house: int, top_index: int,
         for v in frees_at.pop(g, ()):
             free.append(slot_of[v])
 
-    bufs = min(n_active, 2)
+    bufs = min(n_active, n_bufs)
     vmem = (bufs * chunk_tiles + n_slots) * _TILE_BYTES
     if vmem > _VMEM_BUDGET:
         raise LogicError(
@@ -373,5 +381,5 @@ def _build_schedule(gate_rows, n_basic: int, n_house: int, top_index: int,
     return StreamProgram(
         ops=ops, basic_perm=basic_perm, n_basic=n_b,
         n_basic_pad=n_basic_pad, chunk_tiles=chunk_tiles,
-        n_chunks=n_active, pool_slots=n_slots,
+        n_chunks=n_active, n_bufs=n_bufs, pool_slots=n_slots,
         top_slot=slot_of[top_index], nnz=exec_nnz, n_house=n_h)

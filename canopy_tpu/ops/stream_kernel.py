@@ -41,11 +41,12 @@ __all__ = ["stream_propagate", "stream_propagate_staged", "stage_basic",
 _TILE_TRIALS = 1024  # 8 sublanes x 128 lanes per node tile.
 
 
-def compile_stream(tree: CompiledTree,
-                   chunk_tiles: int = 256) -> StreamProgram:
+def compile_stream(tree: CompiledTree, chunk_tiles: int = 256,
+                   n_bufs: int = 3) -> StreamProgram:
     """Schedule ``tree`` for streaming (raises ``LogicError`` if it
     cannot fit — callers fall back to the gather engine)."""
-    return build_stream_schedule(tree, chunk_tiles=chunk_tiles)
+    return build_stream_schedule(tree, chunk_tiles=chunk_tiles,
+                                 n_bufs=n_bufs)
 
 
 def compile_bdd_stream(bdd, chunk_tiles: int = 256) -> StreamProgram:
@@ -221,7 +222,7 @@ def stream_propagate_staged(program: StreamProgram, staged: jnp.ndarray,
     house = np.asarray(house_states, dtype=np.float32)
     bp = staged
 
-    bufs = max(min(program.n_chunks, 2), 1)
+    bufs = max(min(program.n_chunks, program.n_bufs), 1)
     kernel = functools.partial(_stream_kernel, program=program,
                                house=house)
     with jax.enable_x64(False):

@@ -81,18 +81,22 @@ class TestSchedule:
 
     def test_spills_and_double_buffering(self):
         tree = mixed_tree()
-        program = build_stream_schedule(tree, chunk_tiles=2)
+        # Depth 2 forces shared events to outlive their chunk (the
+        # default 3-deep ring keeps them resident on this small tree).
+        program = build_stream_schedule(tree, chunk_tiles=2, n_bufs=2)
         tags = [op[0] for op in program.ops]
         assert tags.count("start") == program.n_chunks
         assert tags.count("wait") == program.n_chunks
-        assert program.n_chunks >= 3  # Forces buffer reuse.
+        assert program.n_chunks > program.n_bufs  # Forces ring reuse.
         assert "spill" in tags        # Shared events outlive their chunk.
         # Every wait is preceded by its start; buffer reuse never starts
         # before the previous occupant's wait.
+        nb = program.n_bufs
         seen_start, seen_wait = set(), set()
         for op in program.ops:
             if op[0] == "start":
-                assert op[1] - 2 in seen_wait or op[1] < 2
+                assert op[1] - nb in seen_wait or op[1] < nb
+                assert op[2] == op[1] % nb
                 seen_start.add(op[1])
             elif op[0] == "wait":
                 assert op[1] in seen_start
@@ -127,6 +131,20 @@ class TestStreamPropagate:
         got, want, program = run_both(tree, chunk_tiles=2)
         assert program.n_chunks >= 3
         np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-7)
+
+    def test_two_buffer_ring_with_spills(self):
+        tree = mixed_tree()
+        rng = np.random.default_rng(9)
+        basic = jnp.asarray(
+            rng.uniform(0.0, 1.0, (1024, tree.n_basic)), jnp.float32)
+        house = tree.house_state_vector()
+        program = compile_stream(tree, chunk_tiles=2, n_bufs=2)
+        assert any(op[0] == "spill" for op in program.ops)
+        got = stream_propagate(program, basic, house, interpret=True)
+        want = top_event_probability(tree, basic, jnp.asarray(house))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want, np.float32),
+            rtol=2e-6, atol=1e-7)
 
     def test_house_event_states(self):
         tree = mixed_tree(n_house=1)
