@@ -13,11 +13,13 @@ module removes that cap by treating VMEM as a register file:
   basic) a slot in a fixed VMEM pool at definition and frees it after its
   last consumer, exactly like register allocation over a straight-line
   program.
-* Basic-event tiles stream from HBM in **double-buffered staging chunks**
-  (the basics are laid out in first-use order, so each chunk is one
-  contiguous DMA).  A basic whose last use would outlive its chunk's
-  buffer (two chunks ahead overwrites it) is **spilled**: copied from
-  staging into a pool slot right after its chunk lands.
+* Basic-event tiles stream from HBM through a **ring of staging chunks**
+  (default depth 3 — measured 0.92 of HBM on v5e, vs 0.82 double-
+  buffered; the basics are laid out in first-use order, so each chunk
+  is one contiguous DMA).  A basic whose last use would outlive its
+  chunk's buffer (``n_bufs`` chunks ahead overwrites it) is
+  **spilled**: copied from staging into a pool slot right after its
+  chunk lands.
 
 The result is a static op list — DMA starts/waits, spill copies, gate
 evaluations on pool/staging slots — that the kernel unrolls verbatim.

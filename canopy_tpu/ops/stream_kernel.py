@@ -2,11 +2,11 @@
 
 Executes a :class:`~canopy_tpu.compiler.schedule.StreamProgram` — gates in
 depth-first order over a linear-scan-allocated VMEM pool, basic-event
-tiles streamed from HBM in double-buffered chunk DMAs (see
+tiles streamed from HBM through a ring of staging-chunk DMAs (see
 ``compiler/schedule.py``).  Every value is a whole (8, 128) f32 trial
 tile, so each gate op runs the VPU at full width like
 ``fused_propagate_tiled``, but VMEM holds only the *live set* (pool) plus
-two staging chunks instead of the whole tree: trees of tens of thousands
+a few staging chunks instead of the whole tree: trees of tens of thousands
 of nodes stream at the tiled kernel's arithmetic rate while HBM sees the
 streaming optimum — each basic tile read once, one output tile written —
 overlapped with compute by the chunk prefetch.
