@@ -92,3 +92,34 @@ class TestCrossEngine:
         b = float(top_event_probability(tree, p))
         assert a == b
         assert 0.0 <= a <= 1.0
+
+
+class TestStreamEnginesAgainstBruteForce:
+    """The round-2 streaming engines against the brute-force oracle
+    (interpret mode; every other engine above is their cross-check)."""
+
+    def test_bdd_stream_equals_bruteforce(self, case):
+        from canopy_tpu.ops.stream_kernel import (compile_bdd_stream,
+                                                  stream_bdd_probability)
+        top, tree, p, exact = case
+        bdd = build_bdd(tree)
+        program = compile_bdd_stream(bdd, chunk_tiles=4)
+        batch = jnp.broadcast_to(jnp.asarray(p, jnp.float32),
+                                 (1024, tree.n_basic))
+        got = float(np.asarray(
+            stream_bdd_probability(program, batch, interpret=True))[0])
+        assert got == pytest.approx(exact, rel=1e-5)
+
+    def test_stream_propagation_equals_gather(self, case):
+        from canopy_tpu.engine.propagate import top_event_probability
+        from canopy_tpu.ops.stream_kernel import (compile_stream,
+                                                  stream_propagate)
+        top, tree, p, exact = case
+        program = compile_stream(tree, chunk_tiles=4)
+        batch = jnp.broadcast_to(jnp.asarray(p, jnp.float32),
+                                 (1024, tree.n_basic))
+        got = np.asarray(stream_propagate(
+            program, batch, tree.house_state_vector(), interpret=True))
+        want = np.asarray(top_event_probability(
+            tree, batch, jnp.zeros(tree.n_house)), np.float32)
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-7)
