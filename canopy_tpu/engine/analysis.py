@@ -317,12 +317,17 @@ class RiskAnalysis:
             # the configured cut-set approximation per trial (the batched
             # SpMM configuration), otherwise direct propagation.
             unc_fn = top_fn
+            unc_method = None
             if modular_bdd is not None and jax.default_backend() == "tpu":
                 # Exact per-trial evaluation at kernel speed: the module
                 # chain streamed as fused Shannon muxes (per-shape
                 # fallback to the level-scheduled evaluation inside).
+                # The kernels compute in f32 — the recorded method tag
+                # carries the precision so the demotion from the f64
+                # level-scheduled evaluation is never silent.
                 from .bdd_eval import make_modular_evaluator
                 unc_fn = make_modular_evaluator(modular_bdd)
+                unc_method = getattr(unc_fn, "method", "bdd")
             if unc_fn is None and products is not None and \
                     settings.approximation() in (Approximation.RARE_EVENT,
                                                  Approximation.MCUB):
@@ -348,6 +353,8 @@ class RiskAnalysis:
                 "quantiles": unc.quantiles.tolist(),
                 "histogram_edges": unc.histogram_edges.tolist(),
                 "histogram_density": unc.histogram_density.tolist()}
+            if unc_method is not None:
+                result.uncertainty["method"] = unc_method
             self._timings[f"uncertainty:{top.id}"] = time.perf_counter() - t0
 
         if settings.safety_integrity_levels():
@@ -623,10 +630,15 @@ class RiskAnalysis:
         if root_bdds is not None:
             # Reuse the exact BDDs the point estimates built (uniform
             # house: one per root with shared states; non-uniform: one
-            # per root with its own states) — no rebuild.
+            # per root with its own states) — no rebuild. The method tag
+            # carries the evaluator's compute precision (the streaming
+            # kernels run f32) so the demotion is recorded, not silent.
             from .bdd_eval import make_bdd_evaluator
             for k, bdd in enumerate(root_bdds):
-                top_trials[k] = make_bdd_evaluator(bdd)(basic_s)
+                evaluator = make_bdd_evaluator(bdd)
+                top_trials[k] = evaluator(basic_s)
+                if getattr(evaluator, "method", "bdd") != "bdd":
+                    method = evaluator.method
         if len(top_trials) != len(live_gates):
             top_trials = {}
             method = "direct-propagation"

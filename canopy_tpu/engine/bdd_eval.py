@@ -23,6 +23,17 @@ __all__ = ["bdd_probability", "make_bdd_evaluator",
            "make_modular_evaluator"]
 
 
+def _tagged(jitted, method: str):
+    """Wrap a jitted evaluator with a ``.method`` attribute naming the
+    compute path (and its precision) so callers can record it instead of
+    silently demoting — the streaming kernels evaluate in f32 while the
+    level-scheduled fallback keeps the input dtype (f64 by default)."""
+    def call(*args, **kwargs):
+        return jitted(*args, **kwargs)
+    call.method = method
+    return call
+
+
 def bdd_probability(bdd: CompiledBdd, basic_p: jnp.ndarray) -> jnp.ndarray:
     """Top-event probability; ``basic_p``: (..., n_basic); returns (...)."""
     if bdd.n_nodes == 0:
@@ -79,7 +90,8 @@ def make_bdd_evaluator(bdd: CompiledBdd, engine: str = "auto",
             return stream_bdd_probability(program, basic_p,
                                           interpret=_interpret)
         return bdd_probability(bdd, basic_p)
-    return jax.jit(fn)
+    return _tagged(jax.jit(fn),
+                   "bdd-stream-f32" if program is not None else "bdd")
 
 
 def make_modular_evaluator(modular, engine: str = "auto",
@@ -142,4 +154,5 @@ def make_modular_evaluator(modular, engine: str = "auto",
                 result = value
             vals = vals.at[:, out_slot].set(value)
         return result
-    return jax.jit(fn)
+    return _tagged(jax.jit(fn),
+                   "bdd-stream-f32" if programs is not None else "bdd")

@@ -244,7 +244,12 @@ def make_propagator(tree: CompiledTree, output: str = "top",
         else:
             house = _build_house(tree, house_states)
 
-            def fn(basic_p):
+            def fn(basic_p, house_states=None):
+                if house_states is not None:
+                    raise ValueError(
+                        "the auto-selected kernel engines bake house "
+                        "states at build time; pass them to "
+                        "make_propagator(house_states=...)")
                 # Static shapes under jit: full-VPU tiles when the
                 # trial count sits on the (8, 128) grid — whole tree
                 # resident if it fits, streamed through the VMEM pool

@@ -124,7 +124,8 @@ def report_to_xml(report: Report) -> bytes:
                      error_factor=unc["error_factor"],
                      lower_bound=unc["ci95"][0],
                      upper_bound=unc["ci95"][1],
-                     trials=unc["n_trials"])
+                     trials=unc["n_trials"],
+                     method=unc.get("method"))
 
     return etree.tostring(root, pretty_print=True,
                           xml_declaration=True, encoding="UTF-8")
