@@ -280,6 +280,80 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - secondary metric only
         print(f"bench[stream] skipped: {exc}", file=sys.stderr)
 
+    # Secondary: the spill-tier stream engine on the 65k-gate *uniform*
+    # tree — the access pattern whose live set (~5k tiles) rejects the
+    # plain stream pool and previously fell back to the issue-rate-bound
+    # gather engine at 0.27 of roofline (the one declared north-star
+    # miss). Belady-scheduled HBM scratch: coalesced eviction slabs,
+    # prefetched single-tile refills (compiler/spill.py).
+    try:
+        if time.perf_counter() - bench_start > budget_s:
+            raise TimeoutError("budget exhausted")
+        from canopy_tpu.compiler.spill import build_spill_schedule
+        from canopy_tpu.ops.stream_kernel import (spill_propagate_staged,
+                                                  stage_basic)
+
+        sp_gates = int(os.environ.get("BENCH_SPILL_GATES", "65536"))
+        sp_trials = int(os.environ.get("BENCH_SPILL_TRIALS", "4096"))
+        tree_sp = synthetic_compiled_tree(n_basic=8192, n_gates=sp_gates,
+                                          fanin=fanin, n_levels=14, seed=0)
+        program_sp = build_spill_schedule(tree_sp)
+        basic_sp = jnp.asarray(
+            rng.uniform(0.0, 0.05, (sp_trials, tree_sp.n_basic)), dtype)
+        staged_sp = jax.jit(lambda p: stage_basic(program_sp, p))(basic_sp)
+        house_sp = np.zeros(0, np.float32)
+
+        @jax.jit
+        def repeat_spill(s, n_iter):
+            def body(i, acc):
+                v = spill_propagate_staged(program_sp, s, house_sp)
+                return acc + v.sum()
+            return jax.lax.fori_loop(0, n_iter, body,
+                                     jnp.asarray(0.0, dtype))
+
+        def timed_spill(n_iter):
+            float(repeat_spill(staged_sp, n_iter))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(repeat_spill(staged_sp, n_iter))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        sp_iters = int(os.environ.get("BENCH_SPILL_ITERS", "64"))
+        sp_dt = max(
+            (timed_spill(2 + sp_iters) - timed_spill(2)) / sp_iters, 1e-9)
+        sp_value = program_sp.nnz * sp_trials / sp_dt
+        # DMA accounting per trial-tile step: staged chunk reads (incl.
+        # per-segment re-staging), eviction flushes, refills, boundary
+        # dump/loads — the bytes the schedule actually moves.
+        flat_sp = [op for seg in program_sp.segments for op in seg]
+        tiles_moved = (
+            sum(program_sp.chunk_tiles for op in flat_sp
+                if op[0] == "start")
+            + sum(1 for op in flat_sp if op[0] in ("evict", "rstart"))
+            + sum(program_sp.pool_slots for op in flat_sp
+                  if op[0] in ("dstart", "lstart")))
+        sp_bytes = tiles_moved * 4096 * (sp_trials // 1024)
+        # Correctness on hardware: one batch vs the gather engine.
+        check = np.asarray(spill_propagate_staged(
+            program_sp, staged_sp, house_sp))
+        ref = np.asarray(top_event_probability(
+            tree_sp, basic_sp, house), np.float32)
+        rel = float(np.max(np.abs(check - ref) / np.maximum(ref, 1e-30)))
+        print(f"bench[spill {tree_sp.n_gates}g uniform]: "
+              f"{sp_dt*1e3:.3f} ms/iter, {sp_value/1e9:.2f} "
+              f"Gnnz*trials/s = {sp_value/roofline:.2f} of the "
+              f"gather-formulation roofline "
+              f"({len(program_sp.segments)} segments, "
+              f"{program_sp.n_evicted} evicted, "
+              f"{program_sp.n_refills} refills; DMA "
+              f"{sp_bytes/1e6:.0f} MB -> {sp_bytes/1e9/sp_dt:.0f} GB/s = "
+              f"{sp_bytes/1e9/sp_dt/(_hbm_bandwidth_bytes()/1e9):.2f} of "
+              f"HBM; max rel err vs gather {rel:.1e})", file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - secondary metric only
+        print(f"bench[spill] skipped: {exc}", file=sys.stderr)
+
     # Secondary: exact-BDD streaming evaluation (one fused Shannon mux
     # per node) — exact per-trial quantification of a shared-event model.
     try:

@@ -191,17 +191,11 @@ def build_bdd_stream_schedule(bdd, chunk_tiles: int = 256,
     return program
 
 
-def _build_schedule(gate_rows, n_basic: int, n_house: int, top_index: int,
-                    chunk_tiles: int, n_bufs: int = 3) -> StreamProgram:
-    if n_basic == 0:
-        raise LogicError("stream schedule needs at least one basic event")
-
-    n_b = n_basic
-    n_h = n_house
+def _dfs_exec_rows(gate_rows, n_b: int, n_h: int, top_index: int) -> list:
+    """Depth-first post-order of the top cone (iterative), visiting each
+    gate once — the execution order shared by the stream and spill
+    schedulers (basics get their first-use rank along the way)."""
     op_of_slot = {row[1]: row for row in gate_rows}
-
-    # Depth-first post-order from the top gate (iterative), visiting each
-    # gate once; basics get their first-use rank along the way.
     exec_rows = []
     seen: set[int] = set()
     stack: list[tuple[int, bool]] = [(top_index, False)]
@@ -218,6 +212,17 @@ def _build_schedule(gate_rows, n_basic: int, n_house: int, top_index: int,
         for arg_slot, _flag in reversed(row[2]):
             if arg_slot >= n_b + n_h and arg_slot not in seen:
                 stack.append((arg_slot, False))
+    return exec_rows
+
+
+def _build_schedule(gate_rows, n_basic: int, n_house: int, top_index: int,
+                    chunk_tiles: int, n_bufs: int = 3) -> StreamProgram:
+    if n_basic == 0:
+        raise LogicError("stream schedule needs at least one basic event")
+
+    n_b = n_basic
+    n_h = n_house
+    exec_rows = _dfs_exec_rows(gate_rows, n_b, n_h, top_index)
     n_ops = len(exec_rows)
     exec_nnz = sum(len(row[2]) for row in exec_rows)
     if exec_nnz > _MAX_EDGES:

@@ -212,10 +212,14 @@ def make_propagator(tree: CompiledTree, output: str = "top",
     whole-tree-in-VMEM Pallas kernel; TPU only, top output only),
     "stream" (the register-allocated streaming kernel for structured
     trees beyond VMEM; TPU only, top output, T % 1024 == 0),
+    "spill" (the streaming kernel with the Belady-scheduled HBM spill
+    tier — covers cones whose live set exceeds the VMEM pool; same
+    constraints as "stream"),
     "block" (the slab-DMA block-gather kernel for big locality-ordered
     trees; TPU only, top output, T % 128 == 0), or "auto" — fused when
     the tree fits VMEM on a TPU backend, stream when a streaming
-    schedule exists (live set fits the VMEM pool), else gather. The
+    schedule exists (live set fits the VMEM pool), spill when it does
+    not (up to 2M cone edges), else gather. The
     block engine is opt-in: measured on v5e it trails the XLA gather
     engine (its one-hot selection matmul is FLOP-redundant;
     docs/BENCHMARKS.md). One compilation serves any number of
@@ -229,17 +233,29 @@ def make_propagator(tree: CompiledTree, output: str = "top",
                                           fused_propagate_tiled,
                                           fused_supported,
                                           fused_tiled_supported)
-        from ..ops.stream_kernel import compile_stream, stream_propagate
+        from ..ops.stream_kernel import (compile_spill_stream,
+                                         compile_stream, spill_propagate,
+                                         stream_propagate)
 
         tiled_ok = fused_tiled_supported(tree)
         fused_ok = fused_supported(tree)
         program = None
+        spill_program = None
         if not tiled_ok:
             try:
                 program = compile_stream(tree)
             except LogicError:
-                pass
-        if not (tiled_ok or fused_ok or program is not None):
+                # Live set beyond the plain pool: the HBM spill tier
+                # (Belady-scheduled scratch; compiler/spill.py). Capped
+                # in auto mode — each ~16k-op segment is its own Mosaic
+                # compile, so giant cones are opt-in (engine="spill").
+                if tree.nnz <= 2_000_000:
+                    try:
+                        spill_program = compile_spill_stream(tree)
+                    except LogicError:
+                        pass
+        if not (tiled_ok or fused_ok or program is not None
+                or spill_program is not None):
             engine = "gather"
         else:
             house = _build_house(tree, house_states)
@@ -260,6 +276,8 @@ def make_propagator(tree: CompiledTree, output: str = "top",
                     return fused_propagate_tiled(tree, basic_p, house)
                 if program is not None and on_grid:
                     return stream_propagate(program, basic_p, house)
+                if spill_program is not None and on_grid:
+                    return spill_propagate(spill_program, basic_p, house)
                 if fused_ok:
                     return fused_propagate(tree, basic_p, house)
                 return top_event_probability(tree, basic_p,
@@ -282,6 +300,25 @@ def make_propagator(tree: CompiledTree, output: str = "top",
             # grid fall back to the gather engine.
             if basic_p.shape[0] % 1024 == 0:
                 return stream_propagate(program, basic_p, house)
+            return top_event_probability(tree, basic_p,
+                                         jnp.asarray(house))
+        return jax.jit(fn)
+    if engine == "spill":
+        from ..ops.stream_kernel import (compile_spill_stream,
+                                         spill_propagate)
+
+        if output != "top":
+            raise ValueError("the spill engine only produces the top value")
+        program = compile_spill_stream(tree)
+        house = _build_house(tree, house_states)
+
+        def fn(basic_p, house_states=None):
+            if house_states is not None:
+                raise ValueError(
+                    "the spill engine bakes house states at build time; "
+                    "pass them to make_propagator(house_states=...)")
+            if basic_p.shape[0] % 1024 == 0:
+                return spill_propagate(program, basic_p, house)
             return top_event_probability(tree, basic_p,
                                          jnp.asarray(house))
         return jax.jit(fn)

@@ -36,7 +36,9 @@ from ..errors import LogicError
 
 __all__ = ["stream_propagate", "stream_propagate_staged", "stage_basic",
            "unstage_basic", "stream_supported", "compile_stream",
-           "compile_bdd_stream", "stream_bdd_probability"]
+           "compile_bdd_stream", "stream_bdd_probability",
+           "compile_spill_stream", "spill_propagate",
+           "spill_propagate_staged"]
 
 _TILE_TRIALS = 1024  # 8 sublanes x 128 lanes per node tile.
 
@@ -83,6 +85,51 @@ def stream_supported(tree: CompiledTree, chunk_tiles: int = 256) -> bool:
     return True
 
 
+def _gate_tile(read, kind, locs, aux):
+    """One gate/mux/fill op over (8, 128) tiles — shared by the stream
+    and spill kernels (same ops, same order: bit-exact across engines
+    and vs the gather engine)."""
+    if kind == "prod":
+        acc = None
+        for loc, flip in locs:
+            v = read(loc)
+            x = 1.0 - v if flip else v
+            acc = x if acc is None else acc * x
+        return 1.0 - acc if aux else acc
+    if kind == "pair":
+        (l0, n0), (l1, n1) = locs
+        a = read(l0)
+        b = read(l1)
+        if n0:
+            a = 1.0 - a
+        if n1:
+            b = 1.0 - b
+        x = a + b - 2.0 * a * b
+        return 1.0 - x if aux else x
+    if kind == "mux":
+        # Shannon node: p * hi + (1 - p) * lo (exact BDD eval).
+        (lp, _), (lh, _), (ll, _) = locs
+        p = read(lp)
+        return p * read(lh) + (1.0 - p) * read(ll)
+    if kind == "fill":
+        return jnp.full((8, 128), float(aux), dtype=jnp.float32)
+    # count: Poisson-binomial DP, statically unrolled.
+    lo, hi = aux
+    cap = hi + 1
+    dp = [jnp.ones((8, 128), dtype=jnp.float32)] + \
+         [jnp.zeros((8, 128), dtype=jnp.float32) for _ in range(cap)]
+    for loc, neg in locs:
+        v = read(loc)
+        if neg:
+            v = 1.0 - v
+        new = [dp[0] * (1.0 - v)]
+        for k in range(1, cap):
+            new.append(dp[k] * (1.0 - v) + dp[k - 1] * v)
+        new.append(dp[cap] + dp[cap - 1] * v)
+        dp = new[:cap] + [new[cap]]
+    return sum(dp[k] for k in range(lo, hi + 1))
+
+
 def _stream_kernel(p_ref, out_ref, stage, pool, sems, *,
                    program: StreamProgram, house: np.ndarray):
     i = pl.program_id(0)
@@ -112,47 +159,7 @@ def _stream_kernel(p_ref, out_ref, stage, pool, sems, *,
             pool[op[3]] = stage[op[1], op[2]]
         else:  # ("gate", kind, out_slot, locs, aux)
             _tag, kind, out_slot, locs, aux = op
-            if kind == "prod":
-                acc = None
-                for loc, flip in locs:
-                    v = read(loc)
-                    x = 1.0 - v if flip else v
-                    acc = x if acc is None else acc * x
-                value = 1.0 - acc if aux else acc
-            elif kind == "pair":
-                (l0, n0), (l1, n1) = locs
-                a = read(l0)
-                b = read(l1)
-                if n0:
-                    a = 1.0 - a
-                if n1:
-                    b = 1.0 - b
-                x = a + b - 2.0 * a * b
-                value = 1.0 - x if aux else x
-            elif kind == "mux":
-                # Shannon node: p * hi + (1 - p) * lo (exact BDD eval).
-                (lp, _), (lh, _), (ll, _) = locs
-                p = read(lp)
-                value = p * read(lh) + (1.0 - p) * read(ll)
-            elif kind == "fill":
-                value = jnp.full((8, 128), float(aux), dtype=jnp.float32)
-            else:  # count: Poisson-binomial DP, statically unrolled.
-                lo, hi = aux
-                cap = hi + 1
-                dp = [jnp.ones((8, 128), dtype=jnp.float32)] + \
-                     [jnp.zeros((8, 128), dtype=jnp.float32)
-                      for _ in range(cap)]
-                for loc, neg in locs:
-                    v = read(loc)
-                    if neg:
-                        v = 1.0 - v
-                    new = [dp[0] * (1.0 - v)]
-                    for k in range(1, cap):
-                        new.append(dp[k] * (1.0 - v) + dp[k - 1] * v)
-                    new.append(dp[cap] + dp[cap - 1] * v)
-                    dp = new[:cap] + [new[cap]]
-                value = sum(dp[k] for k in range(lo, hi + 1))
-            pool[out_slot] = value
+            pool[out_slot] = _gate_tile(read, kind, locs, aux)
 
     out_ref[0] = pool[program.top_slot]
 
@@ -207,6 +214,166 @@ def stream_propagate(program: StreamProgram, basic_p: jnp.ndarray,
     """
     return stream_propagate_staged(program, stage_basic(program, basic_p),
                                    house_states, interpret=interpret)
+
+
+def _spill_kernel(p_ref, scr_in, scr_out, *rest, program, seg_ops,
+                  house: np.ndarray, final: bool):
+    """One segment of a spill program (``compiler/spill.py``).
+
+    ``scr_in``/``scr_out`` alias the same HBM scratch array (threaded
+    through the segment chain); all scratch access is via DMA.
+    """
+    if final:
+        top_ref, stage, pool, slab, csems, fsems, rsems, dsem = rest
+    else:
+        stage, pool, slab, csems, fsems, rsems, dsem = rest
+    del scr_in  # Aliased with scr_out; one ref avoids ambiguity.
+    i = pl.program_id(0)
+    nbp = program.n_basic_pad
+    ct = program.chunk_tiles
+    SR = program.scratch_rows
+    P = program.pool_slots
+    scr = scr_out
+
+    def chunk_copy(c, buf):
+        return pltpu.make_async_copy(
+            p_ref.at[pl.ds(i * nbp + c * ct, ct)], stage.at[buf],
+            csems.at[buf])
+
+    def flush_copy(buf, off0, n, row0, sem):
+        return pltpu.make_async_copy(
+            slab.at[buf, pl.ds(off0, n)],
+            scr.at[pl.ds(i * SR + row0, n)], fsems.at[sem])
+
+    def refill_copy(src, row, slot, sem):
+        src_ref = p_ref.at[pl.ds(i * nbp + row, 1)] if src == 0 \
+            else scr.at[pl.ds(i * SR + row, 1)]
+        return pltpu.make_async_copy(src_ref, pool.at[pl.ds(slot, 1)],
+                                     rsems.at[sem])
+
+    def dump_copy():
+        return pltpu.make_async_copy(pool, scr.at[pl.ds(i * SR, P)], dsem)
+
+    def load_copy():
+        return pltpu.make_async_copy(scr.at[pl.ds(i * SR, P)], pool, dsem)
+
+    def read(loc):
+        tag = loc[0]
+        if tag == "pool":
+            return pool[loc[1]]
+        if tag == "stage":
+            return stage[loc[1], loc[2]]
+        return jnp.full((8, 128), float(house[loc[1]]), dtype=jnp.float32)
+
+    for op in seg_ops:
+        tag = op[0]
+        if tag == "start":
+            chunk_copy(op[1], op[2]).start()
+        elif tag == "wait":
+            chunk_copy(op[1], op[2]).wait()
+        elif tag == "spill":
+            pool[op[3]] = stage[op[1], op[2]]
+        elif tag == "evict":
+            slab[op[2], op[3]] = pool[op[1]]
+        elif tag == "efstart":
+            flush_copy(op[1], op[2], op[3], op[4], op[5]).start()
+        elif tag == "efwait":
+            flush_copy(op[1], op[2], op[3], op[4], op[5]).wait()
+        elif tag == "rstart":
+            refill_copy(op[1], op[2], op[3], op[4]).start()
+        elif tag == "rwait":
+            refill_copy(op[1], op[2], op[3], op[4]).wait()
+        elif tag == "dstart":
+            dump_copy().start()
+        elif tag == "dwait":
+            dump_copy().wait()
+        elif tag == "lstart":
+            load_copy().start()
+        elif tag == "lwait":
+            load_copy().wait()
+        else:  # ("gate", kind, out_slot, locs, aux)
+            _tag, kind, out_slot, locs, aux = op
+            pool[out_slot] = _gate_tile(read, kind, locs, aux)
+
+    if final:
+        top_ref[0] = pool[program.top_slot]
+
+
+def compile_spill_stream(tree: CompiledTree, **kwargs):
+    """Schedule ``tree`` with the HBM spill tier (``compiler/spill.py``)
+    — covers cones whose live set exceeds the plain stream pool."""
+    from ..compiler.spill import build_spill_schedule
+    return build_spill_schedule(tree, **kwargs)
+
+
+def spill_propagate(program, basic_p: jnp.ndarray,
+                    house_states: np.ndarray | jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Stage then run a spill program (hot loops: ``stage_basic`` once
+    and call :func:`spill_propagate_staged`)."""
+    return spill_propagate_staged(program, stage_basic(program, basic_p),
+                                  house_states, interpret=interpret)
+
+
+def spill_propagate_staged(program, staged: jnp.ndarray,
+                           house_states: np.ndarray | jnp.ndarray,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Run a segmented spill program on an already-staged basic matrix.
+
+    Each segment is one ``pallas_call``; the HBM scratch array threads
+    through the chain via input/output aliasing, so the only HBM cost
+    beyond staging is the scheduled spill traffic itself.
+    """
+    nbp = program.n_basic_pad
+    if staged.ndim != 3 or staged.shape[0] % nbp \
+            or staged.shape[1:] != (8, 128):
+        raise LogicError("staged layout does not match the program")
+    n_tiles = staged.shape[0] // nbp
+    house = np.asarray(house_states, dtype=np.float32)
+    bufs = max(min(program.n_chunks, program.n_bufs), 1)
+    scratch = jnp.zeros((n_tiles * program.scratch_rows, 8, 128),
+                        jnp.float32)
+    scratch_shapes = [
+        pltpu.VMEM((bufs, program.chunk_tiles, 8, 128), jnp.float32),
+        pltpu.VMEM((max(program.pool_slots, 1), 8, 128), jnp.float32),
+        pltpu.VMEM((2, program.slab_tiles, 8, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((bufs,)),
+        pltpu.SemaphoreType.DMA((program.n_flush_sems,)),
+        pltpu.SemaphoreType.DMA((program.n_refill_sems,)),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    top = None
+    with jax.enable_x64(False):
+        for k, seg in enumerate(program.segments):
+            final = k == len(program.segments) - 1
+            kernel = functools.partial(
+                _spill_kernel, program=program, seg_ops=seg, house=house,
+                final=final)
+            out_shape = [jax.ShapeDtypeStruct(scratch.shape, jnp.float32)]
+            out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+            if final:
+                out_shape.append(
+                    jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32))
+                out_specs.append(
+                    pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM))
+            res = pl.pallas_call(
+                kernel,
+                grid=(n_tiles,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                scratch_shapes=scratch_shapes,
+                input_output_aliases={1: 0},
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=True),
+                interpret=(pltpu.InterpretParams() if interpret
+                           else False),
+            )(staged, scratch)
+            scratch = res[0]
+            if final:
+                top = res[1]
+    return top.reshape(n_tiles * _TILE_TRIALS)
 
 
 def stream_propagate_staged(program: StreamProgram, staged: jnp.ndarray,
