@@ -12,8 +12,10 @@ where ``⊖`` removes solutions subsumed by any solution of the low branch
 (the "without" set). For monotone (coherent) functions this yields
 exactly the minimal cut sets; for non-coherent functions it yields the
 minimal solutions with positive literals along high edges (the
-prime-implicant-lite family that matches minimal-cut-set mode; use the
-MOCUS generator with ``prime_implicants`` for full literal products).
+minimal-cut-set mode semantics). Full-literal *prime implicants* —
+including consensus products — live in
+``compiler/prime_implicants.py`` (the Coudert-Madre recursion), which
+the analysis dispatches when ``settings.prime_implicants()``.
 
 Truncation by ``limit_order`` happens inside the recursion (solutions are
 dropped as soon as they exceed the order bound), so large BDDs with short

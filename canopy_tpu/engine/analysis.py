@@ -246,6 +246,20 @@ class RiskAnalysis:
                         with_truncation=True)
                 except BddBlowupError:
                     products = None
+            elif top_fn is not None:
+                # True prime implicants via the Coudert-Madre consensus
+                # recursion on the ROBDD (settings.h:77-90 — the
+                # BDD-algorithm PI mode; includes consensus products the
+                # MOCUS fallback cannot produce).
+                try:
+                    from ..compiler.prime_implicants import \
+                        bdd_prime_implicants
+                    bdd = build_bdd(tree, house_states=np.asarray(house))
+                    products, bdd_truncated = bdd_prime_implicants(
+                        bdd, limit_order=settings.limit_order(),
+                        with_truncation=True)
+                except (BddBlowupError, LogicError):
+                    products = None
             if products is None:
                 products = generator.generate(top)
             if not settings.prime_implicants():
