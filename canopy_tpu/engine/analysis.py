@@ -41,7 +41,7 @@ from ..errors import LogicError
 from ..mef.event import BasicEvent, Gate
 from ..mef.model import Model
 from ..settings import Algorithm, Approximation, Settings
-from .bdd_eval import bdd_probability
+from .bdd_eval import bdd_probability, make_modular_evaluator
 from .cutset_quantify import (build_cutset_matrix, mcub,
                               product_probabilities, rare_event)
 from .event_tree_walk import walk_event_tree
@@ -318,7 +318,27 @@ class RiskAnalysis:
 
         if settings.importance_analysis():
             t0 = time.perf_counter()
-            imp = importance_measures(tree, mean_p, house, top_fn=top_fn)
+            # On TPU the backward pass runs as the explicit adjoint
+            # streaming kernel (ops/adjoint_kernel.py) instead of XLA
+            # autodiff through the gather engine — same measures, f32
+            # kernel precision (the measures are ratios of a multilinear
+            # function; see docs/CAPABILITIES.md).
+            imp_fn = top_fn
+            if jax.default_backend() == "tpu":
+                if modular_bdd is not None:
+                    ev = make_modular_evaluator(modular_bdd,
+                                                differentiable=True)
+                    if ev.method == "bdd-stream-f32":
+                        n_b = tree.n_basic
+                        imp_fn = lambda p: ev(jnp.broadcast_to(  # noqa: E731
+                            p.astype(jnp.float32), (1024, n_b))).mean()
+                elif top_fn is None:
+                    from .importance import make_stream_importance_fn
+                    stream_fn = make_stream_importance_fn(
+                        tree, np.asarray(house))
+                    if stream_fn is not None:
+                        imp_fn = stream_fn
+            imp = importance_measures(tree, mean_p, house, top_fn=imp_fn)
             if products is not None:
                 imp.occurrences = occurrence_counts(products, tree.n_basic)
             result.importance = imp.as_table(tree)

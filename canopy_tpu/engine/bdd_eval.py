@@ -60,9 +60,35 @@ def bdd_probability(bdd: CompiledBdd, basic_p: jnp.ndarray) -> jnp.ndarray:
 _STREAM_MIN_NODES = 256
 
 
+def _make_diff_stream(program, _interpret):
+    """Differentiable mux-stream call for one BDD program (adjoint
+    kernels, ``ops/adjoint_kernel.py``), or ``None`` if the adjoint
+    cannot be scheduled — callers keep the level-scheduled evaluation,
+    which JAX differentiates natively."""
+    import numpy as np
+
+    from ..errors import LogicError
+    from ..ops.adjoint_kernel import (compile_adjoint,
+                                      make_differentiable_stream)
+    from ..ops.stream_kernel import stage_basic
+    try:
+        aprog = compile_adjoint(program)
+    except LogicError:
+        return None
+    f = make_differentiable_stream(aprog, np.zeros(0, np.float32),
+                                   interpret=_interpret)
+
+    def call(values):
+        cols = values[:, jnp.asarray(program.stage_cols)] \
+            if program.stage_cols is not None else values
+        return f(stage_basic(program, cols.astype(jnp.float32)))
+    return call
+
+
 def make_bdd_evaluator(bdd: CompiledBdd, engine: str = "auto",
                        _interpret: bool = False,
-                       min_nodes: int = _STREAM_MIN_NODES):
+                       min_nodes: int = _STREAM_MIN_NODES,
+                       differentiable: bool = False):
     """A jitted exact evaluator ``f(basic_p) -> top probability``.
 
     On a TPU backend with a schedulable BDD, (n_trials, n_basic) batches
@@ -70,6 +96,11 @@ def make_bdd_evaluator(bdd: CompiledBdd, engine: str = "auto",
     (``ops/stream_kernel.stream_bdd_probability`` — one fused Shannon
     mux per node at full VPU width); every other shape falls back to the
     level-scheduled gather evaluation above. Both are exact.
+
+    ``differentiable=True`` routes the stream path through the adjoint
+    kernels (``ops/adjoint_kernel.py``) so ``jax.grad`` through the
+    evaluator runs at kernel speed — exact Birnbaum importances without
+    falling back to the gather engine's autodiff.
     """
     program = None
     if engine in ("auto", "stream") and \
@@ -82,10 +113,14 @@ def make_bdd_evaluator(bdd: CompiledBdd, engine: str = "auto",
         except LogicError:
             if engine == "stream":
                 raise
+    diff_call = _make_diff_stream(program, _interpret) \
+        if differentiable and program is not None else None
 
     def fn(basic_p):
         if program is not None and basic_p.ndim == 2 \
                 and basic_p.shape[0] % 1024 == 0:
+            if diff_call is not None:
+                return diff_call(basic_p)
             from ..ops.stream_kernel import stream_bdd_probability
             return stream_bdd_probability(program, basic_p,
                                           interpret=_interpret)
@@ -96,7 +131,8 @@ def make_bdd_evaluator(bdd: CompiledBdd, engine: str = "auto",
 
 def make_modular_evaluator(modular, engine: str = "auto",
                            _interpret: bool = False,
-                           min_nodes: int = _STREAM_MIN_NODES):
+                           min_nodes: int = _STREAM_MIN_NODES,
+                           differentiable: bool = False):
     """A jitted exact evaluator over a modular BDD chain.
 
     Like :func:`make_bdd_evaluator` but for
@@ -110,14 +146,17 @@ def make_modular_evaluator(modular, engine: str = "auto",
     from ..compiler.modules import modular_probability
 
     programs = None
+    module_bdds = None
     if engine in ("auto", "stream") and \
             (jax.default_backend() == "tpu" or _interpret):
         from ..errors import LogicError
         from ..ops.stream_kernel import compile_bdd_stream
         try:
             programs = []
+            module_bdds = []
             for bdd, out_slot in modular.chain:
                 root = bdd.resolved_root()
+                module_bdds.append(bdd)
                 if root <= 1:
                     programs.append((float(root), out_slot))
                 elif bdd.n_nodes < min_nodes and engine != "stream":
@@ -130,6 +169,15 @@ def make_modular_evaluator(modular, engine: str = "auto",
             programs = None
             if engine == "stream":
                 raise
+    diff_calls = None
+    if differentiable and programs is not None:
+        # Per-module adjoint wrappers; a module whose adjoint cannot be
+        # scheduled demotes to the (natively differentiable) level
+        # evaluation — the chain stays differentiable either way.
+        diff_calls = {}
+        for k, (program, _slot) in enumerate(programs):
+            if not isinstance(program, (float, CompiledBdd)):
+                diff_calls[k] = _make_diff_stream(program, _interpret)
 
     def fn(basic_p):
         if programs is None or basic_p.ndim != 2 \
@@ -142,11 +190,17 @@ def make_modular_evaluator(modular, engine: str = "auto",
             jnp.zeros((n_trials, modular.n_nodes - modular.n_basic),
                       jnp.float32)], axis=-1)
         result = None
-        for program, out_slot in programs:
+        for k, (program, out_slot) in enumerate(programs):
             if isinstance(program, float):
                 value = jnp.full((n_trials,), program, jnp.float32)
             elif isinstance(program, CompiledBdd):
                 value = bdd_probability(program, vals).astype(jnp.float32)
+            elif diff_calls is not None and diff_calls.get(k) is not None:
+                value = diff_calls[k](vals)
+            elif diff_calls is not None:
+                # Adjoint unavailable: level evaluation (differentiable).
+                value = bdd_probability(module_bdds[k],
+                                        vals).astype(jnp.float32)
             else:
                 value = stream_bdd_probability(program, vals,
                                                interpret=_interpret)
