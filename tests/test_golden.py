@@ -26,11 +26,15 @@ with open(os.path.join(FIXTURES, "golden.json")) as fh:
     GOLDEN = json.load(fh)
 
 
-@pytest.fixture(scope="module", params=sorted(GOLDEN))
+FT_CASES = sorted(n for n, g in GOLDEN.items()
+                  if g.get("kind", "fault_tree") == "fault_tree")
+
+
+@pytest.fixture(scope="module", params=FT_CASES)
 def case(request):
     name = request.param
     path = os.path.join(FIXTURES, f"{name}.xml")
-    settings = Settings().probability_analysis(True)
+    settings = Settings().probability_analysis(True).ccf_analysis(True)
     model = Initializer([path], settings).model
     tree = compile_fault_tree(model.fault_trees.get(name))
     return name, GOLDEN[name], tree
@@ -45,14 +49,26 @@ class TestGolden:
 
     def test_bdd_exact(self, case):
         name, golden, tree = case
-        bdd = build_bdd(tree)
-        assert bdd.n_nodes == golden["bdd_nodes"]
         p = jnp.asarray(mean_basic_probabilities(tree))
-        got = float(bdd_probability(bdd, p))
+        if golden.get("modular"):
+            from canopy_tpu.compiler.modules import (build_modular_bdd,
+                                                     modular_probability)
+            mb = build_modular_bdd(tree)
+            assert sum(b.n_nodes for b, _s in mb.chain) \
+                == golden["bdd_nodes"]
+            got = float(modular_probability(mb, p))
+        else:
+            bdd = build_bdd(tree)
+            assert bdd.n_nodes == golden["bdd_nodes"]
+            got = float(bdd_probability(bdd, p))
         assert abs(got - golden["exact_probability"]) < 1e-10
 
     def test_cutset_bounds(self, case):
         name, golden, tree = case
+        if not golden.get("coherent", True) \
+                or not golden.get("cutset_check", True):
+            pytest.skip("bounds only bracket (nearly) coherent, "
+                        "untruncated models")
         exact = golden["exact_probability"]
         top = next(g for g in tree.gates
                    if tree.gate_index[g.id] == tree.top_index)
@@ -75,3 +91,20 @@ class TestGolden:
         exact = golden["exact_probability"]
         stderr = (exact * (1 - exact) / (32 * 8192)) ** 0.5
         assert abs(estimate - exact) < 6 * stderr + 1e-4
+
+
+class TestHandEventTree:
+    """Hand-computed event-tree anchor (see the derivation comment in
+    tests/fixtures/hand_event_tree.xml and golden.json)."""
+
+    def test_sequence_probabilities(self):
+        from canopy_tpu.engine.analysis import RiskAnalysis
+        golden = GOLDEN["hand_event_tree"]
+        path = os.path.join(FIXTURES, "hand_event_tree.xml")
+        settings = Settings().probability_analysis(True)
+        model = Initializer([path], settings).model
+        report = RiskAnalysis(model, settings).run()
+        by_name = {s.sequence: s for s in report.sequences}
+        assert set(by_name) == set(golden["sequences"])
+        for seq, want in golden["sequences"].items():
+            assert abs(by_name[seq].probability - want) < 1e-12, seq

@@ -88,6 +88,180 @@ def emit_xml(name: str, top: Gate, events: list[BasicEvent]) -> str:
     return "\n".join(lines) + "\n"
 
 
+def synthetic_noncoherent_tree(n_basic: int, n_gates: int, fanin: int,
+                               seed: int):
+    """Layered tree with xor / complement structure (non-coherent):
+    exercises the BDD's don't-care handling and the PI machinery.
+
+    Complements appear only under AND gates and xor reads raw inputs —
+    a complement under a wide OR (or xor of near-certain subtrees)
+    trivializes the top to ~1.  The caller checks the top probability
+    stays non-degenerate and retries seeds.
+    """
+    from canopy_tpu.mef.expr import ConstantExpression
+    rng = np.random.default_rng(seed)
+    events = []
+    for i in range(n_basic):
+        e = BasicEvent(f"be{i}")
+        e.expression = ConstantExpression(
+            float(np.exp(rng.uniform(np.log(1e-3), np.log(0.1)))))
+        events.append(e)
+    pool: list = list(events)
+    gates = []
+    for gi in range(n_gates - 1):
+        k = int(min(rng.integers(2, fanin + 2), len(pool)))
+        chosen = rng.choice(len(pool), size=k, replace=False)
+        gate = Gate(f"sg{gi}")
+        u = rng.random()
+        if u < 0.18:
+            args = [Arg(pool[int(c)]) for c in chosen[:2]]
+            gate.formula = Formula(Connective.XOR, args)
+        elif u < 0.28 and k >= 3:
+            args = [Arg(pool[int(c)]) for c in chosen]
+            gate.formula = Formula(Connective.ATLEAST, args, min_number=2)
+        elif u < 0.63:
+            args = [Arg(pool[int(c)], bool(rng.random() < 0.25))
+                    for c in chosen]
+            gate.formula = Formula(Connective.AND, args)
+        else:
+            args = [Arg(pool[int(c)]) for c in chosen]
+            gate.formula = Formula(Connective.OR, args)
+        gates.append(gate)
+        pool.append(gate)
+    top = Gate("synthetic-top")
+    roots = [g for g in gates if not g.usage] or gates[-2:]
+    if len(roots) == 1:
+        roots.append(gates[0] if gates[0] is not roots[0] else events[0])
+    top.formula = Formula(Connective.OR, [Arg(r) for r in roots])
+    return top, events
+
+
+def _noncoherent_with_sane_top(n_basic, n_gates, fanin, seed):
+    """Retry seeds until the top probability is non-degenerate."""
+    for s in range(seed, seed + 50):
+        top, events = synthetic_noncoherent_tree(n_basic, n_gates, fanin, s)
+        tree = compile_gates([top])
+        tree.top_index = tree.gate_index[top.id]
+        p = jnp.asarray(mean_basic_probabilities(tree))
+        from canopy_tpu.engine.propagate import top_event_probability
+        approx = float(top_event_probability(tree, p))
+        if 1e-6 < approx < 0.9:
+            return top, events, tree
+    raise AssertionError("no sane non-coherent seed found")
+
+
+def brute_force_probability(tree, p, chunk: int = 1 << 14) -> float:
+    """Exact top probability by full state enumeration — independent of
+    the BDD engine (the propagation engine on 0/1 inputs is a pure
+    Boolean evaluator; no Shannon recursion, no node tables)."""
+    from canopy_tpu.engine.propagate import top_event_probability
+    n = tree.n_basic
+    assert n <= 22, "enumeration bounded to 2^22 states"
+    p = np.asarray(p, dtype=np.float64)
+    house = jnp.asarray(tree.house_state_vector())
+    total = 0.0
+    for start in range(0, 1 << n, chunk):
+        ids = np.arange(start, min(start + chunk, 1 << n), dtype=np.uint64)
+        bits = ((ids[:, None] >> np.arange(n, dtype=np.uint64)) &
+                np.uint64(1)).astype(np.float64)
+        top = np.asarray(top_event_probability(
+            tree, jnp.asarray(bits), house), dtype=np.float64)
+        logw = (bits * np.log(p)[None, :]
+                + (1.0 - bits) * np.log1p(-p)[None, :]).sum(axis=1)
+        total += float((top * np.exp(logw)).sum())
+    return total
+
+
+_CCF_XML = """    <define-CCF-group name="pumps-ccf" model="beta-factor">
+      <members>
+        <basic-event name="ccf-pump-1"/>
+        <basic-event name="ccf-pump-2"/>
+        <basic-event name="ccf-pump-3"/>
+        <basic-event name="ccf-pump-4"/>
+      </members>
+      <distribution><float value="0.003"/></distribution>
+      <factor level="4"><float value="0.08"/></factor>
+    </define-CCF-group>
+"""
+
+
+def attach_ccf(xml: str, top_gate: str) -> str:
+    """Wire a 4-member beta-factor CCF group into a generated tree: the
+    members feed a 2-of-4 vote gate AND-ed into the top."""
+    vote = ('    <define-gate name="ccf-vote">'
+            '<atleast min="2">'
+            '<basic-event name="ccf-pump-1"/>'
+            '<basic-event name="ccf-pump-2"/>'
+            '<basic-event name="ccf-pump-3"/>'
+            '<basic-event name="ccf-pump-4"/>'
+            '</atleast></define-gate>\n')
+    wrapped = (f'    <define-gate name="plant-top">'
+               f'<or><gate name="{top_gate}"/>'
+               f'<gate name="ccf-vote"/></or></define-gate>\n')
+    marker = "    <define-gate"
+    at = xml.index(marker)
+    return xml[:at] + wrapped + vote + _CCF_XML + xml[at:]
+
+
+def quantify_full_stack(path: str, tree_name: str):
+    """Load XML through the Initializer (CCF expansion included) and
+    compile the named fault tree."""
+    from canopy_tpu.compiler.graph import compile_fault_tree
+    from canopy_tpu.mef import Initializer
+    from canopy_tpu.settings import Settings
+    settings = Settings().probability_analysis(True).ccf_analysis(True)
+    model = Initializer([path], settings).model
+    return compile_fault_tree(model.fault_trees.get(tree_name))
+
+
+MC_TRIALS = 32 * 312_500  # 10^7 bit-packed trials.
+
+
+def freeze_bdd_vs_mc(name: str, tree, golden: dict, extra=None):
+    """Two independent in-repo derivations: exact BDD (Shannon node
+    tables; modular Dutuit-Rauzy chain when the monolithic BDD blows
+    up) vs 10^7-trial bit-packed Monte Carlo (Boolean words), frozen
+    together with the 4-sigma acceptance band."""
+    from canopy_tpu.compiler.bdd import BddBlowupError
+    p = jnp.asarray(mean_basic_probabilities(tree))
+    try:
+        bdd = build_bdd(tree)
+        exact = float(bdd_probability(bdd, p))
+        n_bdd = bdd.n_nodes
+        modular = False
+    except BddBlowupError:
+        from canopy_tpu.compiler.modules import (build_modular_bdd,
+                                                 modular_probability)
+        mb = build_modular_bdd(tree)
+        exact = float(modular_probability(mb, p))
+        n_bdd = sum(b.n_nodes for b, _s in mb.chain)
+        modular = True
+    mc = float(packed_top_probability(
+        tree, jax.random.PRNGKey(0), p, MC_TRIALS))
+    stderr = float(np.sqrt(exact * (1 - exact) / MC_TRIALS))
+    assert abs(mc - exact) < max(4 * stderr, 1e-9), (name, exact, mc)
+    kind = "modular BDD (Dutuit-Rauzy chain)" if modular \
+        else "BDD (Shannon)"
+    golden[name] = {
+        "top_event": "synthetic-top",
+        "exact_probability": exact,
+        "mc_estimate": mc,
+        "mc_trials": MC_TRIALS,
+        "mc_4sigma": 4 * stderr,
+        "derivation": f"{kind} vs 1e7-trial bit-packed MC, "
+                      "independent engines, 4-sigma agreement",
+        "n_basic": tree.n_basic,
+        "n_gates": tree.n_gates,
+        "nnz": tree.nnz,
+        "bdd_nodes": n_bdd,
+        "modular": modular,
+    }
+    if extra:
+        golden[name].update(extra)
+    print(f"{name}: P={exact:.8e} (MC {mc:.4e} +-{stderr:.1e}) "
+          f"gates={tree.n_gates} bdd={n_bdd}{' modular' if modular else ''}")
+
+
 def main() -> None:
     golden = {}
     configs = [
@@ -95,34 +269,84 @@ def main() -> None:
                                    seed=101, atleast_fraction=0.15)),
         ("aralia_like_medium", dict(n_basic=120, n_gates=90, fanin=4,
                                     seed=202, atleast_fraction=0.1)),
+        ("aralia_like_large", dict(n_basic=260, n_gates=500, fanin=3,
+                                   seed=700, atleast_fraction=0.08,
+                                   complement_fraction=0.04)),
     ]
     for name, kw in configs:
         top, events = synthetic_mef_tree(**kw)
         tree = compile_gates([top])
         tree.top_index = tree.gate_index[top.id]
-        p = jnp.asarray(mean_basic_probabilities(tree))
-        bdd = build_bdd(tree)
-        exact = float(bdd_probability(bdd, p))
-        # Cross-check with bit-packed Monte Carlo.
-        mc = float(packed_top_probability(
-            tree, jax.random.PRNGKey(0), p, 32 * 65536))
-        stderr = float(np.sqrt(exact * (1 - exact) / (32 * 65536)))
-        assert abs(mc - exact) < max(6 * stderr, 1e-6), (name, exact, mc)
-
         xml = emit_xml(name, top, events)
         with open(os.path.join(FIXTURES, f"{name}.xml"), "w") as fh:
             fh.write(xml)
-        golden[name] = {
-            "top_event": top.id,
-            "exact_probability": exact,
-            "mc_estimate": mc,
-            "n_basic": tree.n_basic,
-            "n_gates": tree.n_gates,
-            "nnz": tree.nnz,
-            "bdd_nodes": bdd.n_nodes,
-        }
-        print(f"{name}: P={exact:.8e} (MC {mc:.4e}) "
-              f"gates={tree.n_gates} bdd={bdd.n_nodes}")
+        extra = {"cutset_check": False} if name == "aralia_like_large" \
+            else None   # limit-order truncation voids the bound check
+        freeze_bdd_vs_mc(name, tree, golden, extra=extra)
+
+    # Non-coherent corpus entry (xor/complements): same two engines.
+    top, events, tree = _noncoherent_with_sane_top(n_basic=60, n_gates=120,
+                                                   fanin=3, seed=404)
+    name = "aralia_like_noncoherent"
+    with open(os.path.join(FIXTURES, f"{name}.xml"), "w") as fh:
+        fh.write(emit_xml(name, top, events))
+    freeze_bdd_vs_mc(name, tree, golden, extra={"coherent": False})
+
+    # CCF entry: quantified through the FULL stack (XML -> initializer
+    # -> beta-factor expansion -> compile), BDD vs MC.
+    top, events = synthetic_mef_tree(n_basic=80, n_gates=60, fanin=3,
+                                     seed=303, atleast_fraction=0.1)
+    name = "aralia_like_ccf"
+    xml = emit_xml(name, top, events)
+    xml = attach_ccf(xml, top.id)
+    path = os.path.join(FIXTURES, f"{name}.xml")
+    with open(path, "w") as fh:
+        fh.write(xml)
+    tree = quantify_full_stack(path, name)
+    freeze_bdd_vs_mc(name, tree, golden,
+                     extra={"top_event": "plant-top", "ccf": True})
+
+    # Brute-force anchor: 2^18 full enumeration (no BDD involvement)
+    # vs the BDD — the strongest independence in the corpus.
+    top, events, tree = _noncoherent_with_sane_top(n_basic=18, n_gates=36,
+                                                   fanin=3, seed=505)
+    name = "brute_noncoherent"
+    with open(os.path.join(FIXTURES, f"{name}.xml"), "w") as fh:
+        fh.write(emit_xml(name, top, events))
+    p = mean_basic_probabilities(tree)
+    brute = brute_force_probability(tree, p)
+    bdd = build_bdd(tree)
+    exact = float(bdd_probability(bdd, jnp.asarray(p)))
+    assert abs(brute - exact) < 1e-11, (brute, exact)
+    golden[name] = {
+        "top_event": top.id,
+        "exact_probability": brute,
+        "bdd_probability": exact,
+        "coherent": False,
+        "derivation": "full 2^18 state enumeration through the "
+                      "propagation engine (no BDD) vs exact BDD; "
+                      "agreement < 1e-11",
+        "n_basic": tree.n_basic, "n_gates": tree.n_gates,
+        "nnz": tree.nnz, "bdd_nodes": bdd.n_nodes,
+    }
+    print(f"{name}: P={brute:.12e} (BDD {exact:.12e})")
+
+    # Hand-computed event-tree plant (tests/fixtures/hand_event_tree.xml
+    # is authored by hand; the sequence values below are pencil-and-
+    # paper products — see the XML comments for the arithmetic).
+    golden["hand_event_tree"] = {
+        "kind": "event_tree",
+        "initiating_event": "LOSP",
+        "derivation": "hand-computed: P(cooling)=1-0.9*0.8=0.28, "
+                      "P(power)=0.5*0.4=0.2, independent events; "
+                      "sequence = P(losp-occurs)=0.01 * branch "
+                      "products (all collect-formula, homogeneous)",
+        "sequences": {
+            "OK": 0.01 * (1 - 0.28),
+            "PartialDamage": 0.01 * 0.28 * (1 - 0.2),
+            "CoreDamage": 0.01 * 0.28 * 0.2,
+        },
+    }
 
     with open(os.path.join(FIXTURES, "golden.json"), "w") as fh:
         json.dump(golden, fh, indent=2)
