@@ -34,7 +34,7 @@ from ..errors import LogicError
 from ..mef.event import BasicEvent, Connective, Formula, Gate, HouseEvent
 from .graph import CompiledTree
 
-__all__ = ["BddForest", "CompiledBdd", "build_bdd"]
+__all__ = ["BddForest", "CompiledBdd", "build_bdd", "build_bdd_multi"]
 
 _ZERO = 0  # Terminal node indices.
 _ONE = 1
@@ -282,6 +282,22 @@ def build_bdd(tree: CompiledTree, max_nodes: int = 2_000_000,
     """
     if tree.top_index is None:
         raise LogicError("The compiled tree has no top gate.")
+    return build_bdd_multi(tree, [tree.top_index], max_nodes=max_nodes,
+                           house_states=house_states,
+                           use_native=use_native)[0]
+
+
+def build_bdd_multi(tree: CompiledTree, root_slots: list[int],
+                    max_nodes: int = 2_000_000, house_states=None,
+                    use_native: bool | None = None) -> list[CompiledBdd]:
+    """One forest pass, many roots.
+
+    Event-tree sequence quantification anchors dozens of roots on one
+    shared compiled DAG (``engine/analysis._analyze_event_tree``); the
+    ITE memo tables are shared across all of them, so the forest builds
+    once and each root only pays its own level scheduling — instead of
+    re-deriving the whole forest per sequence.
+    """
 
     # Variable order: first-touch DFS order over the compiled structure.
     order: dict[int, int] = {}
@@ -324,8 +340,8 @@ def build_bdd(tree: CompiledTree, max_nodes: int = 2_000_000,
         node_bdd[slot] = _formula_bdd(forest, gate.formula, tree, node_bdd)
     forest.check_overflow()
 
-    root = node_bdd[tree.top_index]
-    return _schedule(forest, root, tree.n_basic, slot_of_var)
+    return [_schedule(forest, node_bdd[slot], tree.n_basic, slot_of_var)
+            for slot in root_slots]
 
 
 def _arg_bdd(forest: BddForest, arg, tree: CompiledTree,

@@ -126,6 +126,7 @@ class RiskAnalysis:
         self.model = model
         self.settings = settings
         self._timings: dict[str, float] = {}
+        self._slot_names: dict[int, list] = {}
 
     # -- public ------------------------------------------------------------
 
@@ -420,10 +421,18 @@ class RiskAnalysis:
             f"{algo}/direct-propagation"
 
     def _literal_name(self, tree: CompiledTree, slot: int, neg: bool) -> str:
-        for event_id, s in tree.basic_index.items():
-            if s == slot:
-                return f"not {event_id}" if neg else event_id
-        return f"slot{slot}"
+        # Precomputed slot -> name array per tree (the dict scan was
+        # O(n_basic) per literal — quadratic over large product lists).
+        names = self._slot_names.get(id(tree))
+        if names is None:
+            names = [None] * tree.n_basic
+            for event_id, s in tree.basic_index.items():
+                names[s] = event_id
+            self._slot_names[id(tree)] = names
+        event_id = names[slot] if slot < len(names) else None
+        if event_id is None:
+            return f"slot{slot}"
+        return f"not {event_id}" if neg else event_id
 
     # -- SIL ---------------------------------------------------------------
 
@@ -557,30 +566,30 @@ class RiskAnalysis:
             use_bdd = self.settings.algorithm() == Algorithm.BDD
             values = None
             root_bdds = None
-            if use_bdd and uniform_house:
+            if use_bdd:
+                # ONE forest pass per distinct house configuration
+                # (usually one): the ITE memo tables are shared across
+                # all sequence roots (compiler/bdd.build_bdd_multi), so
+                # 50 sequences cost one forest + 50 cheap schedules
+                # instead of 50 forest rebuilds.
+                from ..compiler.bdd import build_bdd_multi
                 try:
-                    bdd_cache: dict[int, float] = {}
-                    root_bdds = []
-                    for k, gate in enumerate(g for g in gates
-                                             if g is not None):
-                        tree.top_index = tree.gate_index[gate.id]
-                        bdd = build_bdd(tree, house_states=house_rows[0])
-                        root_bdds.append(bdd)
-                        bdd_cache[k] = float(bdd_probability(bdd, mean_p))
-                    values = bdd_cache
-                except BddBlowupError:
-                    values = None
-                    root_bdds = None
-            if values is None and use_bdd and not uniform_house:
-                try:
+                    root_slots = [tree.gate_index[g.id] for g in gates
+                                  if g is not None]
+                    n_roots = len(root_slots)
+                    root_bdds = [None] * n_roots
                     values = {}
-                    root_bdds = []
-                    for k, gate in enumerate(g for g in gates
-                                             if g is not None):
-                        tree.top_index = tree.gate_index[gate.id]
-                        bdd = build_bdd(tree, house_states=house_rows[k])
-                        root_bdds.append(bdd)
-                        values[k] = float(bdd_probability(bdd, mean_p))
+                    by_house: dict[bytes, list[int]] = {}
+                    for k in range(n_roots):
+                        by_house.setdefault(
+                            house_rows[k].tobytes(), []).append(k)
+                    for ks in by_house.values():
+                        bdds = build_bdd_multi(
+                            tree, [root_slots[k] for k in ks],
+                            house_states=house_rows[ks[0]])
+                        for k, bdd in zip(ks, bdds):
+                            root_bdds[k] = bdd
+                            values[k] = float(bdd_probability(bdd, mean_p))
                 except BddBlowupError:
                     values = None
                     root_bdds = None
