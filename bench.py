@@ -54,6 +54,16 @@ def main() -> None:
     n_gates = int(os.environ.get("BENCH_GATES", "400000"))
     fanin = int(os.environ.get("BENCH_FANIN", "4"))
     dtype = jnp.float32
+    # Regression guard: every section records (value, unit, ms/iter,
+    # pinned iteration span) here; the full dict goes out as one
+    # stderr JSON line at the end ("bench-sections: {...}") and the
+    # sections measured before the contract line ride inside it, so
+    # round-over-round engine regressions are mechanically diffable.
+    sections: dict[str, dict] = {}
+
+    def record(name, value, unit, dt, iters_used):
+        sections[name] = {"value": value, "unit": unit,
+                          "ms_per_iter": dt * 1e3, "iters": iters_used}
 
     tree = synthetic_compiled_tree(n_basic=8192, n_gates=n_gates,
                                    fanin=fanin, n_levels=14, seed=0)
@@ -108,6 +118,7 @@ def main() -> None:
         tiled_dt = max(
             (timed_tiled(2 + t_iters) - timed_tiled(2)) / t_iters, 1e-9)
         tiled_value = tree_t.nnz * tiled_trials / tiled_dt
+        record("fused-tiled", tiled_value, "nnz*trials/s", tiled_dt, t_iters)
         print(f"bench[fused-tiled {tiled_gates}g]: {tiled_dt*1e3:.3f} ms/"
               f"iter, {tiled_value/1e9:.2f} Gnnz*trials/s",
               file=sys.stderr)
@@ -149,6 +160,7 @@ def main() -> None:
         fused_dt = max(
             (timed_fused(2 + f_iters) - timed_fused(2)) / f_iters, 1e-9)
         fused_value = tree_f.nnz * fused_trials / fused_dt
+        record("fused-vmem", fused_value, "nnz*trials/s", fused_dt, f_iters)
         print(f"bench[fused-vmem {fused_gates}g]: {fused_dt*1e3:.2f} ms/"
               f"iter, {fused_value/1e9:.2f} Gnnz*trials/s",
               file=sys.stderr)
@@ -192,6 +204,7 @@ def main() -> None:
     elapsed = max((t_large - t_small) / iters, 1e-9)
 
     gather_value = nnz * n_trials / elapsed
+    record("gather", gather_value, "nnz*trials/s", elapsed, iters)
 
     # Roofline: per (nnz x trial) the gather reads 4 bytes and the gate
     # write amortizes to 4/fanin bytes; value-vector streaming re-reads
@@ -219,9 +232,11 @@ def main() -> None:
         "value": value,
         "unit": "nnz*trials/s",
         "vs_baseline": vs_baseline,
+        "sections": {k: round(v["value"], 3)
+                     for k, v in sections.items()},
     }), flush=True)
 
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "360"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "600"))
     bench_start = time.perf_counter()
 
     # Secondary: the streaming (register-allocated) kernel on a
@@ -270,6 +285,7 @@ def main() -> None:
         s_dt = max(
             (timed_stream(2 + s_iters) - timed_stream(2)) / s_iters, 1e-9)
         s_value = program_s.nnz * s_trials / s_dt
+        record("stream-hier", s_value, "nnz*trials/s", s_dt, s_iters)
         dma_bytes = (program_s.n_chunks * program_s.chunk_tiles
                      * (s_trials // 1024) * 4096)
         print(f"bench[stream {tree_s.n_gates}g hier]: {s_dt*1e3:.3f} ms/"
@@ -324,6 +340,7 @@ def main() -> None:
         sp_dt = max(
             (timed_spill(2 + sp_iters) - timed_spill(2)) / sp_iters, 1e-9)
         sp_value = program_sp.nnz * sp_trials / sp_dt
+        record("spill-uniform", sp_value, "nnz*trials/s", sp_dt, sp_iters)
         # DMA accounting per trial-tile step: staged chunk reads (incl.
         # per-segment re-staging), eviction flushes, refills, boundary
         # dump/loads — the bytes the schedule actually moves.
@@ -401,6 +418,7 @@ def main() -> None:
         b_iters = int(os.environ.get("BENCH_BDD_ITERS", "1024"))
         bdd_dt = max(
             (timed_bdd(2 + b_iters) - timed_bdd(2)) / b_iters, 1e-9)
+        record("bdd-stream", bdd_trials / bdd_dt, "exact quantifications/s", bdd_dt, b_iters)
         print(f"bench[bdd-stream {bdd_b.n_nodes}n exact]: "
               f"{bdd_dt*1e3:.3f} ms/iter, "
               f"{bdd_trials/bdd_dt/1e6:.1f}M exact quantifications/s",
@@ -443,6 +461,7 @@ def main() -> None:
 
         bf_dt = max((timed_bf(2 + iters) - timed_bf(2)) / iters, 1e-9)
         bf_value = nnz * bf_trials / bf_dt
+        record("gather-bf16", bf_value, "nnz*trials/s", bf_dt, iters)
         print(f"bench[gather-bf16 {n_gates}g T={bf_trials}]: "
               f"{bf_dt*1e3:.2f} ms/iter, {bf_value/1e9:.2f} "
               f"Gnnz*trials/s ({bf_value/max(gather_value,1):.2f}x f32)",
@@ -485,12 +504,144 @@ def main() -> None:
         mc_elapsed = max(
             (timed_packed(2 + iters) - timed_packed(2)) / iters, 1e-9)
         mc_value = nnz * mc_words * 32 / mc_elapsed
+        record("mc-bitpacked", mc_value, "nnz*trials/s", mc_elapsed, iters)
         print(f"bench[mc-bitpacked]: {mc_elapsed*1e3:.2f} ms/iter, "
               f"{mc_value/1e9:.2f} Gnnz*trials/s "
               f"({mc_value/max(value,1):.1f}x the float path)",
               file=sys.stderr)
     except Exception as exc:  # pragma: no cover - secondary metric only
         print(f"bench[mc-bitpacked] skipped: {exc}", file=sys.stderr)
+
+    # Secondary: importance backward — the adjoint stream program
+    # (compiler/adjoint.py) vs XLA autodiff through the gather engine
+    # on the same plant-shaped tree. One value_and_grad each.
+    try:
+        if time.perf_counter() - bench_start > budget_s:
+            raise TimeoutError("budget exhausted")
+        from canopy_tpu.ops.adjoint_kernel import (
+            compile_adjoint, make_differentiable_stream)
+        from canopy_tpu.ops.stream_kernel import compile_stream, stage_basic
+        from canopy_tpu.utils.synthetic import synthetic_hierarchical_tree
+
+        adj_basics = int(os.environ.get("BENCH_ADJ_BASICS", "8192"))
+        adj_trials = 1024
+        tree_a = synthetic_hierarchical_tree(
+            n_basic=adj_basics, branching=8, share_fraction=0.1,
+            n_shared=128, seed=0)
+        program_a = compile_stream(tree_a)
+        aprog_a = compile_adjoint(program_a)
+        house_a = np.zeros(0, np.float32)
+        f_a = make_differentiable_stream(aprog_a, house_a)
+        basic_a = jnp.asarray(
+            rng.uniform(0.0, 0.05, (adj_trials, tree_a.n_basic)), dtype)
+        staged_a = jax.jit(lambda p: stage_basic(program_a, p))(basic_a)
+
+        grad_stream = jax.jit(jax.value_and_grad(
+            lambda s: f_a(s).sum()))
+        grad_gather = jax.jit(jax.value_and_grad(
+            lambda p: top_event_probability(
+                tree_a, p, jnp.asarray(house_a)).sum()))
+
+        @jax.jit
+        def repeat_gs(s, n_iter):
+            def body(i, acc):
+                v, g = jax.value_and_grad(lambda x: f_a(x).sum())(s)
+                return acc + v + g.sum()
+            return jax.lax.fori_loop(0, n_iter, body,
+                                     jnp.asarray(0.0, dtype))
+
+        @jax.jit
+        def repeat_gg(p, n_iter):
+            def body(i, acc):
+                v, g = jax.value_and_grad(lambda x: top_event_probability(
+                    tree_a, x * (1.0 + 1e-7 * i),
+                    jnp.asarray(house_a)).sum())(p)
+                return acc + v + g.sum()
+            return jax.lax.fori_loop(0, n_iter, body,
+                                     jnp.asarray(0.0, dtype))
+
+        def timed_vg(fn, arg, n_iter):
+            float(fn(arg, n_iter))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(fn(arg, n_iter))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        a_iters = int(os.environ.get("BENCH_ADJ_ITERS", "64"))
+        as_dt = max((timed_vg(repeat_gs, staged_a, 2 + a_iters)
+                     - timed_vg(repeat_gs, staged_a, 2)) / a_iters, 1e-9)
+        ag_iters = max(a_iters // 8, 8)
+        ag_dt = max((timed_vg(repeat_gg, basic_a, 2 + ag_iters)
+                     - timed_vg(repeat_gg, basic_a, 2)) / ag_iters, 1e-9)
+        # Gradient agreement on hardware (value_and_grad both paths).
+        v_s, g_s = grad_stream(staged_a)
+        v_g, g_g = grad_gather(basic_a)
+        from canopy_tpu.ops.stream_kernel import unstage_basic
+        g_s_un = np.asarray(unstage_basic(program_a, g_s))
+        rel_g = float(np.max(np.abs(g_s_un - np.asarray(g_g))
+                             / np.maximum(np.abs(np.asarray(g_g)), 1e-20)))
+        record("adjoint-stream-vjp", tree_a.nnz * adj_trials / as_dt,
+               "nnz*trials/s fwd+bwd", as_dt, a_iters)
+        record("gather-autodiff-vjp", tree_a.nnz * adj_trials / ag_dt,
+               "nnz*trials/s fwd+bwd", ag_dt, ag_iters)
+        print(f"bench[adjoint {tree_a.n_gates}g]: stream fwd+bwd "
+              f"{as_dt*1e3:.3f} ms/iter vs gather autodiff "
+              f"{ag_dt*1e3:.2f} ms/iter -> {ag_dt/as_dt:.1f}x "
+              f"(max rel grad err {rel_g:.1e})", file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - secondary metric only
+        print(f"bench[adjoint] skipped: {exc}", file=sys.stderr)
+
+    # Secondary: config-3 scale — the 1M-gate synthetic on one chip
+    # (BASELINE.md:36). Index arrays ride as jit ARGUMENTS
+    # (make_param_propagator): baked-in constants would ship ~30 MB in
+    # every remote-compile request (HTTP 413 on tunneled devices).
+    # Memory plan (docs/BENCHMARKS.md): T=1024 f32 value matrix =
+    # ~4.3 GB; bf16 doubles trials in the same bytes.
+    try:
+        if time.perf_counter() - bench_start > budget_s:
+            raise TimeoutError("budget exhausted")
+        from canopy_tpu.engine.propagate import make_param_propagator
+
+        m_gates = int(os.environ.get("BENCH_M_GATES", "1000000"))
+        m_trials = int(os.environ.get("BENCH_M_TRIALS", "1024"))
+        tree_m = synthetic_compiled_tree(n_basic=65536, n_gates=m_gates,
+                                         fanin=fanin, n_levels=14, seed=0)
+        fn_m, params_m = make_param_propagator(tree_m)
+        params_m = jax.device_put(params_m)
+        basic_m = jnp.asarray(
+            rng.uniform(0.0, 0.05, (m_trials, tree_m.n_basic)), dtype)
+        house_m = jnp.zeros((0,), dtype)
+
+        @jax.jit
+        def repeat_m(params, p, n_iter):
+            def body(i, acc):
+                return acc + fn_m(params, p * (1.0 + 1e-7 * i),
+                                  house_m).sum()
+            return jax.lax.fori_loop(0, n_iter, body,
+                                     jnp.asarray(0.0, dtype))
+
+        def timed_m(n_iter):
+            float(repeat_m(params_m, basic_m, n_iter))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(repeat_m(params_m, basic_m, n_iter))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        m_iters = int(os.environ.get("BENCH_M_ITERS", "8"))
+        m_dt = max((timed_m(2 + m_iters) - timed_m(2)) / m_iters, 1e-9)
+        m_value = tree_m.nnz * m_trials / m_dt
+        record("config3-1M-gates", m_value, "nnz*trials/s", m_dt, m_iters)
+        print(f"bench[config3 {tree_m.n_gates}g 1M]: {m_dt*1e3:.2f} ms/"
+              f"iter, {m_value/1e9:.2f} Gnnz*trials/s = "
+              f"{m_value/roofline:.3f} of the gather-formulation "
+              f"roofline (nnz={tree_m.nnz}, T={m_trials})",
+              file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - secondary metric only
+        print(f"bench[config3-1M] skipped: {exc}", file=sys.stderr)
 
     # Tertiary: the BSR/MXU log-space engine after the locality
     # reordering pass, on an adversarially *shuffled* hierarchical tree
@@ -558,6 +709,8 @@ def main() -> None:
                       - timed_fn(repeat_gather_l, 2)) / iters, 1e-9)
         bsr_v = tree_l.nnz * bsr_trials / bsr_dt
         gat_v = tree_l.nnz * bsr_trials / gat_dt
+        record("bsr+reorder", bsr_v, "nnz*trials/s", bsr_dt, iters)
+        record("gather-on-reordered", gat_v, "nnz*trials/s", gat_dt, iters)
         print(f"bench[bsr+reorder br={branching}]: {bsr_dt*1e3:.2f} ms "
               f"({bsr_v/1e9:.2f} G/s, fill {fill_shuffled:.0f}x -> "
               f"{program.fill_ratio:.0f}x) vs gather {gat_dt*1e3:.2f} ms "
@@ -565,6 +718,11 @@ def main() -> None:
               file=sys.stderr)
     except Exception as exc:  # pragma: no cover - tertiary metric only
         print(f"bench[bsr] skipped: {exc}", file=sys.stderr)
+
+    # Machine-parseable record of EVERY section (regression guard —
+    # compare against the bench-sections line in the previous round's
+    # log / docs/BENCHMARKS.md).
+    print("bench-sections: " + json.dumps(sections), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -9,7 +9,14 @@ importance via autodiff, cut-set generation and approximations — scaling
 over `jax.sharding` meshes.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
+
+def build_info() -> dict:
+    """Git-derived build metadata (commit, count, dirty) — the
+    reference's ``cmake/build-info.cmake`` analogue; see
+    :mod:`canopy_tpu.build_info`."""
+    from .build_info import build_info as _bi
+    return _bi()
 
 # Risk quantification routinely works with probabilities at the 1e-9..1e-2
 # scale and 1e-8 cut-offs; float64 is the correctness default. Performance

@@ -23,10 +23,18 @@ from .errors import Error
 from .settings import Settings
 
 
+def _version_string() -> str:
+    from .build_info import version_string
+    return version_string()
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="canopy-tpu",
         description="TPU-native quantification of Open-PSA MEF models.")
+    parser.add_argument("--version", action="version",
+                        version=_version_string(),
+                        help="build version (git-derived when available)")
     parser.add_argument("input_files", nargs="*",
                         help="MEF XML input files (globs allowed)")
     parser.add_argument("--project", metavar="PROJECT_XML",

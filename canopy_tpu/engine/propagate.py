@@ -44,7 +44,8 @@ import numpy as np
 from ..compiler.graph import CompiledTree, CountBlock, LevelBlock, PairBlock, ProdBlock
 
 __all__ = ["propagate_probability", "top_event_probability",
-           "propagate_node_major", "make_propagator"]
+           "propagate_node_major", "make_propagator",
+           "make_param_propagator"]
 
 
 def _compute_dtype(vals: jnp.ndarray):
@@ -366,6 +367,138 @@ def make_propagator(tree: CompiledTree, output: str = "top",
             h = jnp.asarray(baked) if house_states is None else house_states
             return propagate_probability(tree, basic_p, h)
     return jax.jit(fn)
+
+
+def make_param_propagator(tree: CompiledTree):
+    """The gather engine with index arrays as *arguments*, not
+    closed-over constants.
+
+    Million-gate trees carry tens of MB of index arrays; baked into the
+    jaxpr as constants they ship inside every remote-compile request
+    (HTTP 413 over ~10 MB on tunneled devices) and defeat donation.
+    Here the host precomputes only the static structure (family kinds,
+    shapes, contiguity, padding masks) and returns ``(fn, params)``:
+    ``params`` is a pytree of device arrays passed per call, and
+    ``fn(params, basic_p, house_states) -> (..., top)`` is jit-safe
+    with ``params`` traced.  Results are bit-identical to
+    :func:`top_event_probability` (same ops, same order).
+    """
+    from ..errors import LogicError
+    if tree.top_index is None:
+        raise LogicError("make_param_propagator needs an anchored top")
+    params: list = []
+    spec: list = []    # static mirror: (kind, static-fields...)
+    for level in tree.levels:
+        for kind, b in level.iter_blocks():
+            if not b.n_gates:
+                continue
+            idx_np = np.asarray(b.out_idx)
+            contig = bool(len(idx_np)
+                          and (np.diff(idx_np) == 1).all())
+            out0 = int(idx_np[0]) if contig else None
+            if kind == "prod":
+                arrays = dict(arg_idx=jnp.asarray(b.arg_idx),
+                              arg_flip=jnp.asarray(b.arg_flip),
+                              inv_out=jnp.asarray(b.inv_out))
+                full = [bool(b.arg_mask[:, f].all())
+                        for f in range(b.arg_idx.shape[1])]
+                if not all(full):
+                    arrays["arg_mask"] = jnp.asarray(b.arg_mask)
+                if not contig:
+                    arrays["out_idx"] = jnp.asarray(idx_np)
+                spec.append(("prod", full, contig, out0))
+            elif kind == "pair":
+                arrays = dict(arg_idx=jnp.asarray(b.arg_idx),
+                              arg_neg=jnp.asarray(b.arg_neg),
+                              is_iff=jnp.asarray(b.is_iff))
+                if not contig:
+                    arrays["out_idx"] = jnp.asarray(idx_np)
+                spec.append(("pair", contig, out0))
+            else:
+                arrays = dict(arg_idx=jnp.asarray(b.arg_idx),
+                              arg_neg=jnp.asarray(b.arg_neg),
+                              arg_mask=jnp.asarray(b.arg_mask),
+                              min_num=jnp.asarray(b.min_num),
+                              max_num=jnp.asarray(b.max_num))
+                if not contig:
+                    arrays["out_idx"] = jnp.asarray(idx_np)
+                spec.append(("count", b.cap, contig, out0))
+            params.append(arrays)
+    n_basic, n_house, n_gates = tree.n_basic, tree.n_house, tree.n_gates
+    top_index = tree.top_index
+
+    def _write(vals, arrays, contig, out0, out):
+        if contig:
+            return jax.lax.dynamic_update_slice(
+                vals, out.astype(vals.dtype), (out0, 0))
+        return vals.at[arrays["out_idx"]].set(out.astype(vals.dtype))
+
+    def fn(params, basic_p, house_states):
+        """(T, n_basic), (n_house,) -> (T,) top values."""
+        B = basic_p.shape[0]
+        basic_nm = basic_p.T
+        parts = [basic_nm]
+        if n_house:
+            parts.append(jnp.broadcast_to(house_states[:, None],
+                                          (n_house, B))
+                         .astype(basic_nm.dtype))
+        parts.append(jnp.zeros((n_gates, B), dtype=basic_nm.dtype))
+        vals = jnp.concatenate(parts, axis=0)
+        for arrays, sp in zip(params, spec):
+            kind = sp[0]
+            cdt = _compute_dtype(vals)
+            if kind == "prod":
+                _k, full, contig, out0 = sp
+                F = arrays["arg_idx"].shape[1]
+                acc = None
+                for f in range(F):
+                    v = vals[arrays["arg_idx"][:, f]].astype(cdt)
+                    x = jnp.where(arrays["arg_flip"][:, f][:, None],
+                                  1.0 - v, v)
+                    if not full[f]:
+                        x = jnp.where(arrays["arg_mask"][:, f][:, None],
+                                      x, 1.0)
+                    acc = x if acc is None else acc * x
+                out = jnp.where(arrays["inv_out"][:, None],
+                                1.0 - acc, acc)
+            elif kind == "pair":
+                _k, contig, out0 = sp
+                v = vals[arrays["arg_idx"]].astype(cdt)
+                v = jnp.where(arrays["arg_neg"][..., None], 1.0 - v, v)
+                a, b_ = v[:, 0, :], v[:, 1, :]
+                x = a + b_ - 2.0 * a * b_
+                out = jnp.where(arrays["is_iff"][:, None], 1.0 - x, x)
+            else:
+                _k, cap, contig, out0 = sp
+                v = vals[arrays["arg_idx"]].astype(cdt)
+                v = jnp.where(arrays["arg_neg"][..., None], 1.0 - v, v)
+                v = jnp.where(arrays["arg_mask"][..., None], v, 0.0)
+                G, _F, Bx = v.shape
+                dp0 = jnp.zeros((G, cap + 1, Bx), dtype=v.dtype)
+                dp0 = dp0.at[:, 0, :].set(1.0)
+
+                def step(dp, p_col):
+                    p = p_col[:, None, :]
+                    shifted = jnp.concatenate(
+                        [jnp.zeros_like(dp[:, :1, :]), dp[:, :-1, :]],
+                        axis=1)
+                    new = dp * (1.0 - p) + shifted * p
+                    new = new.at[:, cap, :].add(dp[:, cap, :]
+                                                * p[:, 0, :])
+                    return new, None
+
+                dp, _ = jax.lax.scan(step, dp0, jnp.moveaxis(v, 1, 0))
+                counts = jnp.arange(cap + 1)
+                in_range = ((counts[None, :]
+                             >= arrays["min_num"][:, None]) &
+                            (counts[None, :]
+                             <= arrays["max_num"][:, None]))
+                out = jnp.sum(jnp.where(in_range[..., None], dp, 0.0),
+                              axis=1)
+            vals = _write(vals, arrays, contig, out0, out)
+        return vals[top_index]
+
+    return fn, params
 
 
 def mean_basic_probabilities(tree: CompiledTree) -> np.ndarray:

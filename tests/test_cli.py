@@ -56,3 +56,14 @@ class TestCli:
         base = [r for r in payload["fault_trees"] if "alignment" not in r]
         assert base[0]["method"] == "mocus/rare_event"
         assert base[0]["n_products"] >= 1
+
+
+def test_build_info_git_derived():
+    """Reference cmake/build-info.cmake analogue: version carries the
+    git commit and history count when running from a checkout."""
+    from canopy_tpu.build_info import build_info, version_string
+    info = build_info()
+    assert info["version"].startswith("0.")
+    if info["source"] == "git":
+        assert info["commit"] and info["commit_count"] > 0
+        assert info["commit"] in version_string()
