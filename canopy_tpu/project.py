@@ -42,8 +42,16 @@ class Project:
     output: str | None = None
 
 
-def load_project(path: str) -> Project:
-    document = Document(path)
+def load_project(path: str, validate: bool = True) -> Project:
+    """Parse and (by default) RELAX NG-validate a project file against
+    the bundled ``schemas/project.rng``."""
+    if validate:
+        from .io.xml import Validator
+        from .schemas import project_schema_path
+        document = Document(path,
+                            validator=Validator(project_schema_path()))
+    else:
+        document = Document(path)
     root = document.root
     if root.name != "canopy-project":
         raise ValidityError(

@@ -73,14 +73,69 @@ class TestProjectFile:
     def test_bad_root(self, tmp_path):
         bad = tmp_path / "p.xml"
         bad.write_text("<not-a-project/>")
-        with pytest.raises(ValidityError):
+        from canopy_tpu.errors import XmlError
+        with pytest.raises((ValidityError, XmlError)):
             load_project(str(bad))
 
     def test_no_inputs(self, tmp_path):
         bad = tmp_path / "p.xml"
         bad.write_text("<canopy-project><input-files/></canopy-project>")
-        with pytest.raises(ValidityError):
+        from canopy_tpu.errors import XmlError
+        with pytest.raises((ValidityError, XmlError)):
             load_project(str(bad))
 
     def test_cli_without_inputs_errors(self, capsys):
         assert main(["--probability"]) == 2
+
+
+class TestProjectSchema:
+    """schemas/project.rng fills the reference's reserved project-schema
+    slot (env.h:27-31): structural errors fail at validation, not in
+    loader code."""
+
+    MODEL = ("""<?xml version="1.0"?><opsa-mef name="t">"""
+             """<define-fault-tree name="t"><define-gate name="top">"""
+             """<or><basic-event name="e"/></or></define-gate>"""
+             """<define-basic-event name="e"><float value="0.1"/>"""
+             """</define-basic-event></define-fault-tree></opsa-mef>""")
+
+    def test_valid_project_passes_schema(self, tmp_path):
+        model = tmp_path / "m.xml"
+        model.write_text(self.MODEL)
+        path = tmp_path / "p.xml"
+        path.write_text("""<?xml version="1.0"?>
+<canopy-project>
+  <input-files><file>m.xml</file></input-files>
+  <options>
+    <algorithm value="bdd"/>
+    <analysis probability="true" importance="true"/>
+    <limits limit-order="8" seed="3"/>
+  </options>
+</canopy-project>
+""")
+        project = load_project(str(path))
+        assert project.settings.limit_order() == 8
+
+    def test_schema_rejects_bad_algorithm(self, tmp_path):
+        from canopy_tpu.errors import Error
+        path = tmp_path / "p.xml"
+        path.write_text("""<?xml version="1.0"?>
+<canopy-project>
+  <input-files><file>m.xml</file></input-files>
+  <options><algorithm value="quantum"/></options>
+</canopy-project>
+""")
+        with pytest.raises(Error):
+            load_project(str(path))
+
+    def test_schema_rejects_unknown_element(self, tmp_path):
+        from canopy_tpu.errors import Error
+        path = tmp_path / "p.xml"
+        path.write_text("""<?xml version="1.0"?>
+<canopy-project>
+  <input-files><file>m.xml</file></input-files>
+  <mystery/>
+</canopy-project>
+""")
+        with pytest.raises(Error):
+            load_project(str(path))
