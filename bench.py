@@ -719,6 +719,89 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - tertiary metric only
         print(f"bench[bsr] skipped: {exc}", file=sys.stderr)
 
+    # Tertiary: the block-gather engine, direct-space mode (per-fan
+    # one-hot copy matmuls + VPU product — no log/exp) vs the log-space
+    # formulation vs the gather engine, all on the same locality-
+    # reordered tree.
+    try:
+        if time.perf_counter() - bench_start > budget_s:
+            raise TimeoutError("budget exhausted")
+        from canopy_tpu.compiler.reorder import locality_reorder
+        from canopy_tpu.ops.block_gather import (auto_t_tile,
+                                                 block_gather_propagate,
+                                                 compile_block_gather)
+        from canopy_tpu.utils.synthetic import synthetic_hierarchical_tree
+
+        bg_basics = int(os.environ.get("BENCH_BG_BASICS", "32768"))
+        tree_bg = locality_reorder(synthetic_hierarchical_tree(
+            n_basic=bg_basics, branching=8, share_fraction=0.1,
+            n_shared=256, seed=0), hot_first=True).tree
+        program_bg = compile_block_gather(tree_bg)
+        bg_t = auto_t_tile(program_bg)
+        bg_trials = bg_t
+        basic_bg = jnp.asarray(
+            rng.uniform(0.0, 0.05, (bg_trials, tree_bg.n_basic)), dtype)
+
+        def make_repeat(mode):
+            @jax.jit
+            def repeat(p, n_iter):
+                def body(i, acc):
+                    v = block_gather_propagate(program_bg, p,
+                                               t_tile=bg_t, mode=mode)
+                    return acc + v.sum()
+                return jax.lax.fori_loop(0, n_iter, body,
+                                         jnp.asarray(0.0, dtype))
+            return repeat
+
+        @jax.jit
+        def repeat_gather_bg(p, n_iter):
+            def body(i, acc):
+                pp = p * (1.0 + 1e-7 * i)
+                return acc + top_event_probability(tree_bg, pp,
+                                                   house).sum()
+            return jax.lax.fori_loop(0, n_iter, body,
+                                     jnp.asarray(0.0, dtype))
+
+        def timed_bg(fn, n_iter):
+            float(fn(basic_bg, n_iter))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(fn(basic_bg, n_iter))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        bg_iters = int(os.environ.get("BENCH_BG_ITERS", "64"))
+        results = {}
+        for mode in ("direct", "log"):
+            fn = make_repeat(mode)
+            dt = max((timed_bg(fn, 2 + bg_iters)
+                      - timed_bg(fn, 2)) / bg_iters, 1e-9)
+            results[mode] = dt
+            record(f"block-gather-{mode}",
+                   tree_bg.nnz * bg_trials / dt, "nnz*trials/s", dt,
+                   bg_iters)
+        g_dt = max((timed_bg(repeat_gather_bg, 2 + bg_iters)
+                    - timed_bg(repeat_gather_bg, 2)) / bg_iters, 1e-9)
+        record("gather-on-bg-tree", tree_bg.nnz * bg_trials / g_dt,
+               "nnz*trials/s", g_dt, bg_iters)
+        # Exactness of the direct mode on hardware.
+        got = np.asarray(block_gather_propagate(program_bg, basic_bg,
+                                                t_tile=bg_t,
+                                                mode="direct"))
+        ref = np.asarray(top_event_probability(tree_bg, basic_bg, house),
+                         np.float32)
+        bitex = "bit-exact" if np.array_equal(got, ref) else \
+            f"max rel err {np.max(np.abs(got - ref) / np.maximum(ref, 1e-30)):.1e}"
+        print(f"bench[block-gather {tree_bg.n_gates}g T={bg_trials}]: "
+              f"direct {results['direct']*1e3:.3f} ms vs log "
+              f"{results['log']*1e3:.3f} ms vs gather {g_dt*1e3:.3f} ms "
+              f"-> direct is {g_dt/results['direct']:.2f}x gather, "
+              f"{results['log']/results['direct']:.2f}x log ({bitex})",
+              file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - tertiary metric only
+        print(f"bench[block-gather] skipped: {exc}", file=sys.stderr)
+
     # Machine-parseable record of EVERY section (regression guard —
     # compare against the bench-sections line in the previous round's
     # log / docs/BENCHMARKS.md).

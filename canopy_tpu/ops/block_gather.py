@@ -71,6 +71,10 @@ class _LevelPlan:
     chunk_starts: np.ndarray  # (n_chunks, 1) int32, 8-row aligned.
     sel_idx: np.ndarray       # (n_chunks*128, fan) int32 into [0, 2C).
     inv_out: np.ndarray       # (n_chunks*128, 1) f32 (1.0 = complement).
+    #: Direct-space mode: indices into [0, C) + separate flip masks
+    #: (selection matmuls copy raw values; complements on the VPU).
+    sel_raw: np.ndarray | None = None    # (n_chunks*128, fan) int32
+    flip: np.ndarray | None = None       # (n_chunks*128, fan) f32
 
     @property
     def c_rows(self) -> int:
@@ -240,11 +244,17 @@ def compile_block_gather(tree: CompiledTree, w_resident: int = 4,
 
         inv = np.zeros((gp, 1), dtype=np.float32)
         inv[:G, 0] = merged.inv_out.astype(np.float32)
+        # Direct-space companion arrays: raw index (no doubling) +
+        # flip mask; padded lanes select the neutral row with flip 0.
+        sel_raw = np.where(sel >= c_rows, sel - c_rows, sel) \
+            .astype(np.int32)
+        flip_arr = (sel >= c_rows).astype(np.float32)
         plans.append(_LevelPlan(
             out_start=int(merged.out_idx[0]), n_gates=G,
             n_chunks=n_chunks, fan=F, r_rows=r_rows,
             resident_rows=(resident * _SLAB).astype(np.int32),
-            chunk_starts=chunk_starts, sel_idx=sel, inv_out=inv))
+            chunk_starts=chunk_starts, sel_idx=sel, inv_out=inv,
+            sel_raw=sel_raw, flip=flip_arr))
     return BlockGatherProgram(n_basic=tree.n_basic, n_rows=n_rows,
                               top_index=tree.top_index, levels=plans,
                               nnz=tree.nnz)
@@ -318,14 +328,71 @@ def _level_kernel(res_ref, start_ref, sel_ref, inv_ref, vals_ref,
     copy_out.wait()
 
 
+def _level_kernel_direct(res_ref, start_ref, sel_ref, flip_ref, inv_ref,
+                         vals_ref, out_vals_ref, val_buf, out_buf, sems,
+                         *, r_rows, w, fan, t, out_start):
+    """Direct-space variant: per-fan one-hot selection matmuls copy raw
+    argument values (f32-exact — a 0/1 selector against f32 rows), then
+    complements and the product run on the VPU.  No log/exp at all:
+    removes the per-chunk transcendental pass over the whole DMA window
+    that keeps the log formulation overhead-bound, at the price of
+    ``fan`` narrower matmuls instead of one doubled-width one."""
+    i = pl.program_id(0)
+    c_rows = r_rows + w * _SLAB + _NEUTRAL
+
+    @pl.when(i == 0)
+    def _():
+        for k in range(w):
+            pltpu.make_async_copy(
+                vals_ref.at[pl.ds(pl.multiple_of(res_ref[k, 0], _SLAB),
+                                  _SLAB)],
+                val_buf.at[pl.ds(r_rows + k * _SLAB, _SLAB)],
+                sems.at[1 + k]).start()
+        val_buf[pl.ds(r_rows + w * _SLAB, _NEUTRAL)] = jnp.ones(
+            (_NEUTRAL, t), dtype=jnp.float32)
+        for k in range(w):
+            pltpu.make_async_copy(
+                vals_ref.at[pl.ds(pl.multiple_of(res_ref[k, 0], _SLAB),
+                                  _SLAB)],
+                val_buf.at[pl.ds(r_rows + k * _SLAB, _SLAB)],
+                sems.at[1 + k]).wait()
+
+    start = pl.multiple_of(start_ref[i, 0], 8)
+    dma = pltpu.make_async_copy(
+        vals_ref.at[pl.ds(start, r_rows)], val_buf.at[pl.ds(0, r_rows)],
+        sems.at[0])
+    dma.start()
+    dma.wait()
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, c_rows), 1)
+    acc = None
+    for f in range(fan):
+        s = (col == sel_ref[:, f:f + 1]).astype(jnp.float32)
+        y = jnp.dot(s, val_buf[:], preferred_element_type=jnp.float32)
+        flip = flip_ref[:, f:f + 1]
+        x = flip + (1.0 - 2.0 * flip) * y
+        acc = x if acc is None else acc * x
+    inv = inv_ref[:]
+    out_buf[:] = inv + (1.0 - 2.0 * inv) * acc
+
+    copy_out = pltpu.make_async_copy(
+        out_buf, out_vals_ref.at[pl.ds(out_start + i * _CHUNK, _CHUNK)],
+        sems.at[0])
+    copy_out.start()
+    copy_out.wait()
+
+
 def block_gather_propagate(program: BlockGatherProgram,
                            basic_p: jnp.ndarray, t_tile: int | None = None,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           mode: str = "direct") -> jnp.ndarray:
     """(T, n_basic) -> (T,) top probabilities.
 
     ``T`` must be a multiple of 128 (lane tiling); larger than
     ``t_tile`` (default: the largest VMEM-fitting tile) is processed in
-    tiles via ``lax.map``.
+    tiles via ``lax.map``.  ``mode``: "direct" (per-fan one-hot copy
+    matmuls + VPU product — no transcendentals) or "log" (the doubled
+    log-row formulation; one wider matmul, per-chunk log/exp).
     """
     T = basic_p.shape[0]
     if T % 128:
@@ -338,7 +405,8 @@ def block_gather_propagate(program: BlockGatherProgram,
         chunks = basic_p.reshape(T // t_tile, t_tile, -1)
         out = jax.lax.map(
             lambda c: block_gather_propagate(program, c, t_tile=t_tile,
-                                             interpret=interpret), chunks)
+                                             interpret=interpret,
+                                             mode=mode), chunks)
         return out.reshape(T)
 
     t = T
@@ -352,36 +420,66 @@ def block_gather_propagate(program: BlockGatherProgram,
         c_rows = plan.c_rows
         res_arr = np.zeros((max(w, 1), 1), dtype=np.int32)
         res_arr[:w, 0] = plan.resident_rows
-        kernel = functools.partial(
-            _level_kernel, r_rows=plan.r_rows, w=w, fan=plan.fan, t=t,
-            out_start=plan.out_start)
+        if mode == "direct":
+            kernel = functools.partial(
+                _level_kernel_direct, r_rows=plan.r_rows, w=w,
+                fan=plan.fan, t=t, out_start=plan.out_start)
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((_CHUNK, plan.fan), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_CHUNK, plan.fan), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_CHUNK, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ]
+            inputs = (jnp.asarray(res_arr), jnp.asarray(plan.chunk_starts),
+                      jnp.asarray(plan.sel_raw), jnp.asarray(plan.flip),
+                      jnp.asarray(plan.inv_out), vals)
+            scratch = [
+                pltpu.VMEM((c_rows, t), jnp.float32),
+                pltpu.VMEM((_CHUNK, t), jnp.float32),
+                pltpu.SemaphoreType.DMA((1 + max(w, 1),)),
+            ]
+            alias = {5: 0}
+        else:
+            kernel = functools.partial(
+                _level_kernel, r_rows=plan.r_rows, w=w, fan=plan.fan,
+                t=t, out_start=plan.out_start)
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((_CHUNK, plan.fan), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_CHUNK, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ]
+            inputs = (jnp.asarray(res_arr), jnp.asarray(plan.chunk_starts),
+                      jnp.asarray(plan.sel_idx), jnp.asarray(plan.inv_out),
+                      vals)
+            scratch = [
+                pltpu.VMEM((plan.r_rows, t), jnp.float32),
+                pltpu.VMEM((w * _SLAB + _NEUTRAL, t), jnp.float32),
+                pltpu.VMEM((2 * c_rows, t), jnp.float32),
+                pltpu.VMEM((_CHUNK, t), jnp.float32),
+                pltpu.SemaphoreType.DMA((1 + max(w, 1),)),
+            ]
+            alias = {4: 0}
         with jax.enable_x64(False):
             vals = pl.pallas_call(
                 kernel,
                 grid=(plan.n_chunks,),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                    pl.BlockSpec((_CHUNK, plan.fan), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((_CHUNK, 1), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pltpu.ANY),
-                ],
-                out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
                 out_shape=jax.ShapeDtypeStruct(vals.shape, jnp.float32),
-                input_output_aliases={4: 0},
-                scratch_shapes=[
-                    pltpu.VMEM((plan.r_rows, t), jnp.float32),
-                    pltpu.VMEM((w * _SLAB + _NEUTRAL, t), jnp.float32),
-                    pltpu.VMEM((2 * c_rows, t), jnp.float32),
-                    pltpu.VMEM((_CHUNK, t), jnp.float32),
-                    pltpu.SemaphoreType.DMA((1 + max(w, 1),)),
-                ],
+                input_output_aliases=alias,
+                scratch_shapes=scratch,
                 compiler_params=pltpu.CompilerParams(
                     has_side_effects=True),
                 interpret=(pltpu.InterpretParams() if interpret
                            else False),
-            )(jnp.asarray(res_arr), jnp.asarray(plan.chunk_starts),
-              jnp.asarray(plan.sel_idx), jnp.asarray(plan.inv_out), vals)
+            )(*inputs)
     return vals[program.top_index].reshape(T)

@@ -86,3 +86,19 @@ def test_bad_trial_count():
     with pytest.raises(LogicError):
         block_gather_propagate(program, jnp.zeros((100, tree.n_basic)),
                                interpret=True)
+
+
+def test_direct_mode_bit_exact_vs_gather():
+    """The direct-space kernel (per-fan one-hot copy matmuls + VPU
+    product, no log/exp) matches the gather engine bit-for-bit in
+    interpret mode — the selection matmul is a 0/1 copy."""
+    tree = _reordered_hier()
+    program = compile_block_gather(tree)
+    rng = np.random.default_rng(3)
+    p = rng.uniform(0.0, 0.9, (128, tree.n_basic)).astype(np.float32)
+    got = np.asarray(block_gather_propagate(
+        program, jnp.asarray(p), t_tile=128, interpret=True,
+        mode="direct"))
+    ref = np.asarray(top_event_probability(
+        tree, jnp.asarray(p), jnp.zeros((0,))), np.float32)
+    np.testing.assert_array_equal(got, ref)
