@@ -238,12 +238,21 @@ def main() -> None:
 
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "600"))
     bench_start = time.perf_counter()
+    # BENCH_ONLY="spill,adjoint" runs just those secondary sections —
+    # follow-up passes after a timeout need not recompile the rest.
+    _only = os.environ.get("BENCH_ONLY")
+    _only = set(_only.split(",")) if _only else None
+
+    def _want(name):
+        if _only is not None and name not in _only:
+            raise TimeoutError(f"skipped (BENCH_ONLY={sorted(_only)})")
 
     # Secondary: the streaming (register-allocated) kernel on a
     # hierarchical plant-shaped tree too big for VMEM residency — the
     # structured-big-tree engine, compared against the gather engine on
     # the same cone.
     try:
+        _want("stream")
         from canopy_tpu.ops.stream_kernel import (compile_stream,
                                                   stage_basic,
                                                   stream_propagate_staged)
@@ -305,6 +314,7 @@ def main() -> None:
     try:
         if time.perf_counter() - bench_start > budget_s:
             raise TimeoutError("budget exhausted")
+        _want("spill")
         from canopy_tpu.compiler.spill import build_spill_schedule
         from canopy_tpu.ops.stream_kernel import (spill_propagate_staged,
                                                   stage_basic)
@@ -376,6 +386,7 @@ def main() -> None:
     try:
         if time.perf_counter() - bench_start > budget_s:
             raise TimeoutError("budget exhausted")
+        _want("bdd")
         from canopy_tpu.compiler.bdd import build_bdd
         from canopy_tpu.compiler.graph import compile_gates
         from canopy_tpu.ops.stream_kernel import (compile_bdd_stream,
@@ -434,6 +445,7 @@ def main() -> None:
     try:
         if time.perf_counter() - bench_start > budget_s:
             raise TimeoutError("budget exhausted")
+        _want("bf16")
         bf_trials = 2 * n_trials
         basic_bf = jnp.asarray(
             rng.uniform(0.0, 0.05, (bf_trials, tree.n_basic)),
@@ -474,6 +486,7 @@ def main() -> None:
     try:
         if time.perf_counter() - bench_start > budget_s:
             raise TimeoutError("budget exhausted")
+        _want("mc")
         from canopy_tpu.ops.bitpack import propagate_packed
 
         mc_words = max(n_trials // 32, 8)
@@ -518,6 +531,7 @@ def main() -> None:
     try:
         if time.perf_counter() - bench_start > budget_s:
             raise TimeoutError("budget exhausted")
+        _want("adjoint")
         from canopy_tpu.ops.adjoint_kernel import (
             compile_adjoint, make_differentiable_stream)
         from canopy_tpu.ops.stream_kernel import compile_stream, stage_basic
@@ -602,6 +616,7 @@ def main() -> None:
     try:
         if time.perf_counter() - bench_start > budget_s:
             raise TimeoutError("budget exhausted")
+        _want("config3")
         from canopy_tpu.engine.propagate import make_param_propagator
 
         m_gates = int(os.environ.get("BENCH_M_GATES", "1000000"))
@@ -651,6 +666,7 @@ def main() -> None:
     try:
         if time.perf_counter() - bench_start > budget_s:
             raise TimeoutError("budget exhausted")
+        _want("bsr")
         from canopy_tpu.compiler.reorder import (locality_reorder,
                                                  random_shuffle)
         from canopy_tpu.ops.bsr_propagate import (bsr_arrays,
@@ -727,6 +743,7 @@ def main() -> None:
         if time.perf_counter() - bench_start > budget_s:
             raise TimeoutError("budget exhausted")
         from canopy_tpu.compiler.reorder import locality_reorder
+        _want("block-gather")
         from canopy_tpu.ops.block_gather import (auto_t_tile,
                                                  block_gather_propagate,
                                                  compile_block_gather)
