@@ -235,22 +235,21 @@ def build_adjoint_schedule(program: StreamProgram,
     fwd_ops: list = []
     tape_pos_of: dict[tuple[int, int], int] = {}   # (entry, arg) -> row
     sbuf, soff, next_row, batch_row0 = 0, 0, 0, 0
-    slab_pending = [False, False]
+    slab_pending: list[tuple | None] = [None, None]   # last tfstart args
 
     def flush_slab():
         nonlocal sbuf, soff, batch_row0
         if soff:
             fwd_ops.append(("tfstart", sbuf, soff, batch_row0))
-            slab_pending[sbuf] = True
+            slab_pending[sbuf] = (soff, batch_row0)
         sbuf ^= 1
         soff = 0
         batch_row0 = next_row
-        if slab_pending[sbuf]:
+        if slab_pending[sbuf] is not None:
             # Reuse of the other buffer: its flush must have landed.
-            prev = [op for op in fwd_ops
-                    if op[0] == "tfstart" and op[1] == sbuf][-1]
-            fwd_ops.append(("tfwait", sbuf, prev[2], prev[3]))
-            slab_pending[sbuf] = False
+            n, row0 = slab_pending[sbuf]
+            fwd_ops.append(("tfwait", sbuf, n, row0))
+            slab_pending[sbuf] = None
 
     for ei, (idx, tag, e) in enumerate(entries):
         if tag == "gate" and eligible.get(ei):
@@ -268,12 +267,11 @@ def build_adjoint_schedule(program: StreamProgram,
         fwd_ops.append(ops[idx])
     if soff:
         fwd_ops.append(("tfstart", sbuf, soff, batch_row0))
-        slab_pending[sbuf] = True
+        slab_pending[sbuf] = (soff, batch_row0)
     for b in (0, 1):
-        if slab_pending[b]:
-            prev = [op for op in fwd_ops
-                    if op[0] == "tfstart" and op[1] == b][-1]
-            fwd_ops.append(("tfwait", b, prev[2], prev[3]))
+        if slab_pending[b] is not None:
+            n, row0 = slab_pending[b]
+            fwd_ops.append(("tfwait", b, n, row0))
 
     tape_rows = next_row
     if tape_rows == 0:
