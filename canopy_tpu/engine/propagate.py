@@ -253,6 +253,15 @@ def make_propagator(tree: CompiledTree, output: str = "top",
                 if tree.nnz <= 2_000_000:
                     try:
                         spill_program = compile_spill_stream(tree)
+                        # Thrashing guard (measured on v5e, 65k uniform
+                        # tree: refills/op 0.65 ran at 16.7 G/s vs
+                        # gather's 36 — single-tile refill DMAs hit the
+                        # DMA latency/issue floor). Mildly-spilling
+                        # structured trees keep the streaming win;
+                        # heavy thrash goes back to gather.
+                        if spill_program.n_refills \
+                                > 0.15 * spill_program.n_ops:
+                            spill_program = None
                     except LogicError:
                         pass
         if not (tiled_ok or fused_ok or program is not None
