@@ -247,6 +247,88 @@ def main() -> None:
         if _only is not None and name not in _only:
             raise TimeoutError(f"skipped (BENCH_ONLY={sorted(_only)})")
 
+    # Secondary: importance backward — the adjoint stream program
+    # (compiler/adjoint.py) vs XLA autodiff through the gather engine
+    # on the same plant-shaped tree. One value_and_grad each.
+    try:
+        if time.perf_counter() - bench_start > budget_s:
+            raise TimeoutError("budget exhausted")
+        _want("adjoint")
+        from canopy_tpu.ops.adjoint_kernel import (
+            compile_adjoint, make_differentiable_stream)
+        from canopy_tpu.ops.stream_kernel import compile_stream, stage_basic
+        from canopy_tpu.utils.synthetic import synthetic_hierarchical_tree
+
+        adj_basics = int(os.environ.get("BENCH_ADJ_BASICS", "8192"))
+        adj_trials = 1024
+        tree_a = synthetic_hierarchical_tree(
+            n_basic=adj_basics, branching=8, share_fraction=0.1,
+            n_shared=128, seed=0)
+        program_a = compile_stream(tree_a)
+        aprog_a = compile_adjoint(program_a)
+        house_a = np.zeros(0, np.float32)
+        f_a = make_differentiable_stream(aprog_a, house_a)
+        basic_a = jnp.asarray(
+            rng.uniform(0.0, 0.05, (adj_trials, tree_a.n_basic)), dtype)
+        staged_a = jax.jit(lambda p: stage_basic(program_a, p))(basic_a)
+
+        grad_stream = jax.jit(jax.value_and_grad(
+            lambda s: f_a(s).sum()))
+        grad_gather = jax.jit(jax.value_and_grad(
+            lambda p: top_event_probability(
+                tree_a, p, jnp.asarray(house_a)).sum()))
+
+        @jax.jit
+        def repeat_gs(s, n_iter):
+            def body(i, acc):
+                v, g = jax.value_and_grad(lambda x: f_a(x).sum())(s)
+                return acc + v + g.sum()
+            return jax.lax.fori_loop(0, n_iter, body,
+                                     jnp.asarray(0.0, dtype))
+
+        @jax.jit
+        def repeat_gg(p, n_iter):
+            def body(i, acc):
+                v, g = jax.value_and_grad(lambda x: top_event_probability(
+                    tree_a, x * (1.0 + 1e-7 * i),
+                    jnp.asarray(house_a)).sum())(p)
+                return acc + v + g.sum()
+            return jax.lax.fori_loop(0, n_iter, body,
+                                     jnp.asarray(0.0, dtype))
+
+        def timed_vg(fn, arg, n_iter):
+            float(fn(arg, n_iter))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(fn(arg, n_iter))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        a_iters = int(os.environ.get("BENCH_ADJ_ITERS", "64"))
+        as_dt = max((timed_vg(repeat_gs, staged_a, 2 + a_iters)
+                     - timed_vg(repeat_gs, staged_a, 2)) / a_iters, 1e-9)
+        ag_iters = max(a_iters // 8, 8)
+        ag_dt = max((timed_vg(repeat_gg, basic_a, 2 + ag_iters)
+                     - timed_vg(repeat_gg, basic_a, 2)) / ag_iters, 1e-9)
+        # Gradient agreement on hardware (value_and_grad both paths).
+        v_s, g_s = grad_stream(staged_a)
+        v_g, g_g = grad_gather(basic_a)
+        from canopy_tpu.ops.stream_kernel import unstage_basic
+        g_s_un = np.asarray(unstage_basic(program_a, g_s))
+        rel_g = float(np.max(np.abs(g_s_un - np.asarray(g_g))
+                             / np.maximum(np.abs(np.asarray(g_g)), 1e-20)))
+        record("adjoint-stream-vjp", tree_a.nnz * adj_trials / as_dt,
+               "nnz*trials/s fwd+bwd", as_dt, a_iters)
+        record("gather-autodiff-vjp", tree_a.nnz * adj_trials / ag_dt,
+               "nnz*trials/s fwd+bwd", ag_dt, ag_iters)
+        print(f"bench[adjoint {tree_a.n_gates}g]: stream fwd+bwd "
+              f"{as_dt*1e3:.3f} ms/iter vs gather autodiff "
+              f"{ag_dt*1e3:.2f} ms/iter -> {ag_dt/as_dt:.1f}x "
+              f"(max rel grad err {rel_g:.1e})", file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - secondary metric only
+        print(f"bench[adjoint] skipped: {exc}", file=sys.stderr)
+
     # Secondary: the streaming (register-allocated) kernel on a
     # hierarchical plant-shaped tree too big for VMEM residency — the
     # structured-big-tree engine, compared against the gather engine on
@@ -380,6 +462,57 @@ def main() -> None:
               f"HBM; max rel err vs gather {rel:.1e})", file=sys.stderr)
     except Exception as exc:  # pragma: no cover - secondary metric only
         print(f"bench[spill] skipped: {exc}", file=sys.stderr)
+
+    # Secondary: config-3 scale — the 1M-gate synthetic on one chip
+    # (BASELINE.md:36). Index arrays ride as jit ARGUMENTS
+    # (make_param_propagator): baked-in constants would ship ~30 MB in
+    # every remote-compile request (HTTP 413 on tunneled devices).
+    # Memory plan (docs/BENCHMARKS.md): T=1024 f32 value matrix =
+    # ~4.3 GB; bf16 doubles trials in the same bytes.
+    try:
+        if time.perf_counter() - bench_start > budget_s:
+            raise TimeoutError("budget exhausted")
+        _want("config3")
+        from canopy_tpu.engine.propagate import make_param_propagator
+
+        m_gates = int(os.environ.get("BENCH_M_GATES", "1000000"))
+        m_trials = int(os.environ.get("BENCH_M_TRIALS", "1024"))
+        tree_m = synthetic_compiled_tree(n_basic=65536, n_gates=m_gates,
+                                         fanin=fanin, n_levels=14, seed=0)
+        fn_m, params_m = make_param_propagator(tree_m)
+        params_m = jax.device_put(params_m)
+        basic_m = jnp.asarray(
+            rng.uniform(0.0, 0.05, (m_trials, tree_m.n_basic)), dtype)
+        house_m = jnp.zeros((0,), dtype)
+
+        @jax.jit
+        def repeat_m(params, p, n_iter):
+            def body(i, acc):
+                return acc + fn_m(params, p * (1.0 + 1e-7 * i),
+                                  house_m).sum()
+            return jax.lax.fori_loop(0, n_iter, body,
+                                     jnp.asarray(0.0, dtype))
+
+        def timed_m(n_iter):
+            float(repeat_m(params_m, basic_m, n_iter))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(repeat_m(params_m, basic_m, n_iter))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        m_iters = int(os.environ.get("BENCH_M_ITERS", "8"))
+        m_dt = max((timed_m(2 + m_iters) - timed_m(2)) / m_iters, 1e-9)
+        m_value = tree_m.nnz * m_trials / m_dt
+        record("config3-1M-gates", m_value, "nnz*trials/s", m_dt, m_iters)
+        print(f"bench[config3 {tree_m.n_gates}g 1M]: {m_dt*1e3:.2f} ms/"
+              f"iter, {m_value/1e9:.2f} Gnnz*trials/s = "
+              f"{m_value/roofline:.3f} of the gather-formulation "
+              f"roofline (nnz={tree_m.nnz}, T={m_trials})",
+              file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - secondary metric only
+        print(f"bench[config3-1M] skipped: {exc}", file=sys.stderr)
 
     # Secondary: exact-BDD streaming evaluation (one fused Shannon mux
     # per node) — exact per-trial quantification of a shared-event model.
@@ -525,216 +658,6 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - secondary metric only
         print(f"bench[mc-bitpacked] skipped: {exc}", file=sys.stderr)
 
-    # Secondary: importance backward — the adjoint stream program
-    # (compiler/adjoint.py) vs XLA autodiff through the gather engine
-    # on the same plant-shaped tree. One value_and_grad each.
-    try:
-        if time.perf_counter() - bench_start > budget_s:
-            raise TimeoutError("budget exhausted")
-        _want("adjoint")
-        from canopy_tpu.ops.adjoint_kernel import (
-            compile_adjoint, make_differentiable_stream)
-        from canopy_tpu.ops.stream_kernel import compile_stream, stage_basic
-        from canopy_tpu.utils.synthetic import synthetic_hierarchical_tree
-
-        adj_basics = int(os.environ.get("BENCH_ADJ_BASICS", "8192"))
-        adj_trials = 1024
-        tree_a = synthetic_hierarchical_tree(
-            n_basic=adj_basics, branching=8, share_fraction=0.1,
-            n_shared=128, seed=0)
-        program_a = compile_stream(tree_a)
-        aprog_a = compile_adjoint(program_a)
-        house_a = np.zeros(0, np.float32)
-        f_a = make_differentiable_stream(aprog_a, house_a)
-        basic_a = jnp.asarray(
-            rng.uniform(0.0, 0.05, (adj_trials, tree_a.n_basic)), dtype)
-        staged_a = jax.jit(lambda p: stage_basic(program_a, p))(basic_a)
-
-        grad_stream = jax.jit(jax.value_and_grad(
-            lambda s: f_a(s).sum()))
-        grad_gather = jax.jit(jax.value_and_grad(
-            lambda p: top_event_probability(
-                tree_a, p, jnp.asarray(house_a)).sum()))
-
-        @jax.jit
-        def repeat_gs(s, n_iter):
-            def body(i, acc):
-                v, g = jax.value_and_grad(lambda x: f_a(x).sum())(s)
-                return acc + v + g.sum()
-            return jax.lax.fori_loop(0, n_iter, body,
-                                     jnp.asarray(0.0, dtype))
-
-        @jax.jit
-        def repeat_gg(p, n_iter):
-            def body(i, acc):
-                v, g = jax.value_and_grad(lambda x: top_event_probability(
-                    tree_a, x * (1.0 + 1e-7 * i),
-                    jnp.asarray(house_a)).sum())(p)
-                return acc + v + g.sum()
-            return jax.lax.fori_loop(0, n_iter, body,
-                                     jnp.asarray(0.0, dtype))
-
-        def timed_vg(fn, arg, n_iter):
-            float(fn(arg, n_iter))
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(fn(arg, n_iter))
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        a_iters = int(os.environ.get("BENCH_ADJ_ITERS", "64"))
-        as_dt = max((timed_vg(repeat_gs, staged_a, 2 + a_iters)
-                     - timed_vg(repeat_gs, staged_a, 2)) / a_iters, 1e-9)
-        ag_iters = max(a_iters // 8, 8)
-        ag_dt = max((timed_vg(repeat_gg, basic_a, 2 + ag_iters)
-                     - timed_vg(repeat_gg, basic_a, 2)) / ag_iters, 1e-9)
-        # Gradient agreement on hardware (value_and_grad both paths).
-        v_s, g_s = grad_stream(staged_a)
-        v_g, g_g = grad_gather(basic_a)
-        from canopy_tpu.ops.stream_kernel import unstage_basic
-        g_s_un = np.asarray(unstage_basic(program_a, g_s))
-        rel_g = float(np.max(np.abs(g_s_un - np.asarray(g_g))
-                             / np.maximum(np.abs(np.asarray(g_g)), 1e-20)))
-        record("adjoint-stream-vjp", tree_a.nnz * adj_trials / as_dt,
-               "nnz*trials/s fwd+bwd", as_dt, a_iters)
-        record("gather-autodiff-vjp", tree_a.nnz * adj_trials / ag_dt,
-               "nnz*trials/s fwd+bwd", ag_dt, ag_iters)
-        print(f"bench[adjoint {tree_a.n_gates}g]: stream fwd+bwd "
-              f"{as_dt*1e3:.3f} ms/iter vs gather autodiff "
-              f"{ag_dt*1e3:.2f} ms/iter -> {ag_dt/as_dt:.1f}x "
-              f"(max rel grad err {rel_g:.1e})", file=sys.stderr)
-    except Exception as exc:  # pragma: no cover - secondary metric only
-        print(f"bench[adjoint] skipped: {exc}", file=sys.stderr)
-
-    # Secondary: config-3 scale — the 1M-gate synthetic on one chip
-    # (BASELINE.md:36). Index arrays ride as jit ARGUMENTS
-    # (make_param_propagator): baked-in constants would ship ~30 MB in
-    # every remote-compile request (HTTP 413 on tunneled devices).
-    # Memory plan (docs/BENCHMARKS.md): T=1024 f32 value matrix =
-    # ~4.3 GB; bf16 doubles trials in the same bytes.
-    try:
-        if time.perf_counter() - bench_start > budget_s:
-            raise TimeoutError("budget exhausted")
-        _want("config3")
-        from canopy_tpu.engine.propagate import make_param_propagator
-
-        m_gates = int(os.environ.get("BENCH_M_GATES", "1000000"))
-        m_trials = int(os.environ.get("BENCH_M_TRIALS", "1024"))
-        tree_m = synthetic_compiled_tree(n_basic=65536, n_gates=m_gates,
-                                         fanin=fanin, n_levels=14, seed=0)
-        fn_m, params_m = make_param_propagator(tree_m)
-        params_m = jax.device_put(params_m)
-        basic_m = jnp.asarray(
-            rng.uniform(0.0, 0.05, (m_trials, tree_m.n_basic)), dtype)
-        house_m = jnp.zeros((0,), dtype)
-
-        @jax.jit
-        def repeat_m(params, p, n_iter):
-            def body(i, acc):
-                return acc + fn_m(params, p * (1.0 + 1e-7 * i),
-                                  house_m).sum()
-            return jax.lax.fori_loop(0, n_iter, body,
-                                     jnp.asarray(0.0, dtype))
-
-        def timed_m(n_iter):
-            float(repeat_m(params_m, basic_m, n_iter))
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(repeat_m(params_m, basic_m, n_iter))
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        m_iters = int(os.environ.get("BENCH_M_ITERS", "8"))
-        m_dt = max((timed_m(2 + m_iters) - timed_m(2)) / m_iters, 1e-9)
-        m_value = tree_m.nnz * m_trials / m_dt
-        record("config3-1M-gates", m_value, "nnz*trials/s", m_dt, m_iters)
-        print(f"bench[config3 {tree_m.n_gates}g 1M]: {m_dt*1e3:.2f} ms/"
-              f"iter, {m_value/1e9:.2f} Gnnz*trials/s = "
-              f"{m_value/roofline:.3f} of the gather-formulation "
-              f"roofline (nnz={tree_m.nnz}, T={m_trials})",
-              file=sys.stderr)
-    except Exception as exc:  # pragma: no cover - secondary metric only
-        print(f"bench[config3-1M] skipped: {exc}", file=sys.stderr)
-
-    # Tertiary: the BSR/MXU log-space engine after the locality
-    # reordering pass, on an adversarially *shuffled* hierarchical tree
-    # (models an input format whose slot assignment destroyed the
-    # plant's subsystem structure) vs the gather engine on the same
-    # tree.
-    try:
-        if time.perf_counter() - bench_start > budget_s:
-            raise TimeoutError("budget exhausted")
-        _want("bsr")
-        from canopy_tpu.compiler.reorder import (locality_reorder,
-                                                 random_shuffle)
-        from canopy_tpu.ops.bsr_propagate import (bsr_arrays,
-                                                  bsr_cost_report,
-                                                  bsr_top_probability,
-                                                  compile_bsr,
-                                                  estimate_bsr_fill)
-        from canopy_tpu.utils.synthetic import synthetic_hierarchical_tree
-
-        bsr_basics = int(os.environ.get("BENCH_BSR_BASICS", "262144"))
-        branching = int(os.environ.get("BENCH_BSR_BRANCHING", "8"))
-        shuffled = random_shuffle(synthetic_hierarchical_tree(
-            n_basic=bsr_basics, branching=branching, share_fraction=0.1,
-            n_shared=256, seed=0), seed=1).tree
-        fill_shuffled = estimate_bsr_fill(shuffled)
-        tree_l = locality_reorder(shuffled).tree
-        program = compile_bsr(tree_l)
-        bsr_params = jax.device_put(bsr_arrays(program))
-        bsr_trials = min(n_trials, 512)
-        basic_p_bsr = jnp.asarray(
-            rng.uniform(0.0, 0.05, (bsr_trials, tree_l.n_basic)),
-            dtype=dtype)
-
-        @jax.jit
-        def repeat_bsr(basic_p, n_iter, params):
-            def body(i, acc):
-                p = basic_p * (1.0 + 1e-7 * i)
-                return acc + bsr_top_probability(
-                    program, p, params=params).sum()
-            return jax.lax.fori_loop(0, n_iter, body,
-                                     jnp.asarray(0.0, dtype))
-
-        def repeat_bsr_bound(basic_p, n_iter):
-            return repeat_bsr(basic_p, n_iter, bsr_params)
-
-        @jax.jit
-        def repeat_gather_l(basic_p, n_iter):
-            def body(i, acc):
-                p = basic_p * (1.0 + 1e-7 * i)
-                return acc + top_event_probability(tree_l, p, house).sum()
-            return jax.lax.fori_loop(0, n_iter, body,
-                                     jnp.asarray(0.0, dtype))
-
-        def timed_fn(fn, n_iter):
-            float(fn(basic_p_bsr, n_iter))
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(fn(basic_p_bsr, n_iter))
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        bsr_dt = max((timed_fn(repeat_bsr_bound, 2 + iters)
-                      - timed_fn(repeat_bsr_bound, 2)) / iters, 1e-9)
-        gat_dt = max((timed_fn(repeat_gather_l, 2 + iters)
-                      - timed_fn(repeat_gather_l, 2)) / iters, 1e-9)
-        bsr_v = tree_l.nnz * bsr_trials / bsr_dt
-        gat_v = tree_l.nnz * bsr_trials / gat_dt
-        record("bsr+reorder", bsr_v, "nnz*trials/s", bsr_dt, iters)
-        record("gather-on-reordered", gat_v, "nnz*trials/s", gat_dt, iters)
-        print(f"bench[bsr+reorder br={branching}]: {bsr_dt*1e3:.2f} ms "
-              f"({bsr_v/1e9:.2f} G/s, fill {fill_shuffled:.0f}x -> "
-              f"{program.fill_ratio:.0f}x) vs gather {gat_dt*1e3:.2f} ms "
-              f"({gat_v/1e9:.2f} G/s) -> {gat_dt/bsr_dt:.2f}x",
-              file=sys.stderr)
-    except Exception as exc:  # pragma: no cover - tertiary metric only
-        print(f"bench[bsr] skipped: {exc}", file=sys.stderr)
-
     # Tertiary: the block-gather engine, direct-space mode (per-fan
     # one-hot copy matmuls + VPU product — no log/exp) vs the log-space
     # formulation vs the gather engine, all on the same locality-
@@ -818,6 +741,83 @@ def main() -> None:
               file=sys.stderr)
     except Exception as exc:  # pragma: no cover - tertiary metric only
         print(f"bench[block-gather] skipped: {exc}", file=sys.stderr)
+
+    # Tertiary: the BSR/MXU log-space engine after the locality
+    # reordering pass, on an adversarially *shuffled* hierarchical tree
+    # (models an input format whose slot assignment destroyed the
+    # plant's subsystem structure) vs the gather engine on the same
+    # tree.
+    try:
+        if time.perf_counter() - bench_start > budget_s:
+            raise TimeoutError("budget exhausted")
+        _want("bsr")
+        from canopy_tpu.compiler.reorder import (locality_reorder,
+                                                 random_shuffle)
+        from canopy_tpu.ops.bsr_propagate import (bsr_arrays,
+                                                  bsr_cost_report,
+                                                  bsr_top_probability,
+                                                  compile_bsr,
+                                                  estimate_bsr_fill)
+        from canopy_tpu.utils.synthetic import synthetic_hierarchical_tree
+
+        bsr_basics = int(os.environ.get("BENCH_BSR_BASICS", "262144"))
+        branching = int(os.environ.get("BENCH_BSR_BRANCHING", "8"))
+        shuffled = random_shuffle(synthetic_hierarchical_tree(
+            n_basic=bsr_basics, branching=branching, share_fraction=0.1,
+            n_shared=256, seed=0), seed=1).tree
+        fill_shuffled = estimate_bsr_fill(shuffled)
+        tree_l = locality_reorder(shuffled).tree
+        program = compile_bsr(tree_l)
+        bsr_params = jax.device_put(bsr_arrays(program))
+        bsr_trials = min(n_trials, 512)
+        basic_p_bsr = jnp.asarray(
+            rng.uniform(0.0, 0.05, (bsr_trials, tree_l.n_basic)),
+            dtype=dtype)
+
+        @jax.jit
+        def repeat_bsr(basic_p, n_iter, params):
+            def body(i, acc):
+                p = basic_p * (1.0 + 1e-7 * i)
+                return acc + bsr_top_probability(
+                    program, p, params=params).sum()
+            return jax.lax.fori_loop(0, n_iter, body,
+                                     jnp.asarray(0.0, dtype))
+
+        def repeat_bsr_bound(basic_p, n_iter):
+            return repeat_bsr(basic_p, n_iter, bsr_params)
+
+        @jax.jit
+        def repeat_gather_l(basic_p, n_iter):
+            def body(i, acc):
+                p = basic_p * (1.0 + 1e-7 * i)
+                return acc + top_event_probability(tree_l, p, house).sum()
+            return jax.lax.fori_loop(0, n_iter, body,
+                                     jnp.asarray(0.0, dtype))
+
+        def timed_fn(fn, n_iter):
+            float(fn(basic_p_bsr, n_iter))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(fn(basic_p_bsr, n_iter))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        bsr_dt = max((timed_fn(repeat_bsr_bound, 2 + iters)
+                      - timed_fn(repeat_bsr_bound, 2)) / iters, 1e-9)
+        gat_dt = max((timed_fn(repeat_gather_l, 2 + iters)
+                      - timed_fn(repeat_gather_l, 2)) / iters, 1e-9)
+        bsr_v = tree_l.nnz * bsr_trials / bsr_dt
+        gat_v = tree_l.nnz * bsr_trials / gat_dt
+        record("bsr+reorder", bsr_v, "nnz*trials/s", bsr_dt, iters)
+        record("gather-on-reordered", gat_v, "nnz*trials/s", gat_dt, iters)
+        print(f"bench[bsr+reorder br={branching}]: {bsr_dt*1e3:.2f} ms "
+              f"({bsr_v/1e9:.2f} G/s, fill {fill_shuffled:.0f}x -> "
+              f"{program.fill_ratio:.0f}x) vs gather {gat_dt*1e3:.2f} ms "
+              f"({gat_v/1e9:.2f} G/s) -> {gat_dt/bsr_dt:.2f}x",
+              file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - tertiary metric only
+        print(f"bench[bsr] skipped: {exc}", file=sys.stderr)
 
     # Machine-parseable record of EVERY section (regression guard —
     # compare against the bench-sections line in the previous round's
