@@ -259,7 +259,7 @@ def main() -> None:
         from canopy_tpu.ops.stream_kernel import compile_stream, stage_basic
         from canopy_tpu.utils.synthetic import synthetic_hierarchical_tree
 
-        adj_basics = int(os.environ.get("BENCH_ADJ_BASICS", "8192"))
+        adj_basics = int(os.environ.get("BENCH_ADJ_BASICS", "65536"))
         adj_trials = 1024
         tree_a = synthetic_hierarchical_tree(
             n_basic=adj_basics, branching=8, share_fraction=0.1,
