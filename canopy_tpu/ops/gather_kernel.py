@@ -4,7 +4,7 @@ The XLA gather engine issues one row copy at a time from its gather loop
 (~56 ns per row measured on v5e — far under DMA bandwidth for 8 KB rows).
 This kernel drives the row traffic explicitly:
 
-* the value matrix lives in HBM (`pltpu.ANY`) shaped ``(n_nodes, 8,
+* the value matrix lives in HBM (`pl.ANY`) shaped ``(n_nodes, 8,
   T/8)`` — one full (8, T/8) hardware tile per node, so a single-node
   DMA is tiling-aligned (Mosaic rejects 1-row slices of a 2-D layout);
 * the matrix is **aliased in place** (`input_output_aliases`) — levels
@@ -132,9 +132,9 @@ def gather_propagate(tree: CompiledTree, basic_p: jnp.ndarray,
                                      memory_space=pltpu.SMEM),
                         pl.BlockSpec((_TG, 1), lambda i: (i, 0),
                                      memory_space=pltpu.SMEM),
-                        pl.BlockSpec(memory_space=pltpu.ANY),
+                        pl.BlockSpec(memory_space=pl.ANY),
                     ],
-                    out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+                    out_specs=pl.BlockSpec(memory_space=pl.ANY),
                     out_shape=jax.ShapeDtypeStruct(vals.shape, jnp.float32),
                     input_output_aliases={3: 0},
                     scratch_shapes=[
