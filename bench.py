@@ -173,7 +173,6 @@ def main() -> None:
     # scalar: a single dispatch and a single device-to-host transfer, so
     # remote/async dispatch semantics cannot fake the timing. Each
     # iteration perturbs the input (no CSE across iterations).
-    from functools import partial
 
     # n_iter is a *traced* argument (fori_loop lowers to while), so one
     # compilation serves every iteration count — remote compiles are the
@@ -754,7 +753,6 @@ def main() -> None:
         from canopy_tpu.compiler.reorder import (locality_reorder,
                                                  random_shuffle)
         from canopy_tpu.ops.bsr_propagate import (bsr_arrays,
-                                                  bsr_cost_report,
                                                   bsr_top_probability,
                                                   compile_bsr,
                                                   estimate_bsr_fill)
