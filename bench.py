@@ -235,7 +235,7 @@ def main() -> None:
                      for k, v in sections.items()},
     }), flush=True)
 
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "600"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
     bench_start = time.perf_counter()
     # BENCH_ONLY="spill,adjoint" runs just those secondary sections —
     # follow-up passes after a timeout need not recompile the rest.
@@ -258,7 +258,7 @@ def main() -> None:
         from canopy_tpu.ops.stream_kernel import compile_stream, stage_basic
         from canopy_tpu.utils.synthetic import synthetic_hierarchical_tree
 
-        adj_basics = int(os.environ.get("BENCH_ADJ_BASICS", "65536"))
+        adj_basics = int(os.environ.get("BENCH_ADJ_BASICS", "8192"))
         adj_trials = 1024
         tree_a = synthetic_hierarchical_tree(
             n_basic=adj_basics, branching=8, share_fraction=0.1,
