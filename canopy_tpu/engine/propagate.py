@@ -191,6 +191,22 @@ def top_event_probability(tree: CompiledTree, basic_p: jnp.ndarray,
     return jnp.reshape(vals[tree.top_index], batch_shape)
 
 
+#: Auto-dispatch thrashing guard: above this refill density the spill
+#: engine loses to gather (measured on v5e, 65k-gate uniform tree:
+#: refills/op 0.65 ran at 16.7 G/s vs gather's 36 — single-tile refill
+#: DMAs sit on the ~32 GB/s small-transfer floor, and deeper semaphore
+#: pipelining does not move it; docs/BENCHMARKS.md). Mildly-spilling
+#: structured trees keep the streaming win.
+_SPILL_MAX_REFILL_DENSITY = 0.15
+
+
+def spill_auto_ok(spill_program) -> bool:
+    """Whether auto-dispatch should use this spill schedule (callers
+    may still force it with ``engine="spill"``)."""
+    return (spill_program.n_refills
+            <= _SPILL_MAX_REFILL_DENSITY * spill_program.n_ops)
+
+
 def _build_house(tree: CompiledTree,
                  house_states: np.ndarray | None) -> np.ndarray:
     if house_states is None:
@@ -253,14 +269,7 @@ def make_propagator(tree: CompiledTree, output: str = "top",
                 if tree.nnz <= 2_000_000:
                     try:
                         spill_program = compile_spill_stream(tree)
-                        # Thrashing guard (measured on v5e, 65k uniform
-                        # tree: refills/op 0.65 ran at 16.7 G/s vs
-                        # gather's 36 — single-tile refill DMAs hit the
-                        # DMA latency/issue floor). Mildly-spilling
-                        # structured trees keep the streaming win;
-                        # heavy thrash goes back to gather.
-                        if spill_program.n_refills \
-                                > 0.15 * spill_program.n_ops:
+                        if not spill_auto_ok(spill_program):
                             spill_program = None
                     except LogicError:
                         pass

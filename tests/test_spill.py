@@ -205,3 +205,31 @@ class TestSpillKernel:
         np.testing.assert_allclose(np.asarray(got),
                                    np.asarray(want, np.float32),
                                    rtol=1e-6, atol=1e-7)
+
+
+class TestAutoDispatchGuard:
+    """The thrashing guard is backend-independent logic: heavy refill
+    density sends auto mode back to gather (measured on v5e — the
+    single-tile refill DMA floor), mild spilling keeps the engine."""
+
+    def test_uniform_tree_predicted_thrashing(self):
+        from canopy_tpu.compiler.spill import build_spill_schedule
+        from canopy_tpu.engine.propagate import spill_auto_ok
+        from canopy_tpu.utils.synthetic import synthetic_compiled_tree
+        tree = synthetic_compiled_tree(n_basic=2048, n_gates=16384,
+                                       fanin=4, n_levels=12, seed=0)
+        # Tiny pool forces heavy refill traffic (models the 65k case).
+        program = build_spill_schedule(tree, pool_slots=96,
+                                       chunk_tiles=32, slab_tiles=16)
+        assert program.n_refills > 0.15 * program.n_ops
+        assert not spill_auto_ok(program)
+
+    def test_mild_spill_kept(self):
+        from canopy_tpu.compiler.spill import build_spill_schedule
+        from canopy_tpu.engine.propagate import spill_auto_ok
+        from canopy_tpu.utils.synthetic import synthetic_hierarchical_tree
+        tree = synthetic_hierarchical_tree(n_basic=4096, branching=8,
+                                           share_fraction=0.1,
+                                           n_shared=64, seed=0)
+        program = build_spill_schedule(tree, chunk_tiles=32)
+        assert spill_auto_ok(program)
