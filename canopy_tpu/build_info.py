@@ -15,7 +15,14 @@ import functools
 import os
 import subprocess
 
-_BASE_VERSION = "0.3.0"
+def _base_version() -> str:
+    """Single source: the package's __version__ (pyproject.toml is the
+    packaging-metadata copy)."""
+    try:
+        from . import __version__
+        return __version__
+    except Exception:  # pragma: no cover - degenerate import states
+        return "0.0.0"
 
 
 def _git(args: list[str], cwd: str) -> str | None:
@@ -41,13 +48,13 @@ def build_info() -> dict:
     here = os.path.dirname(os.path.abspath(__file__))
     commit = _git(["rev-parse", "--short", "HEAD"], here)
     if commit is None:
-        return {"version": _BASE_VERSION, "commit": None,
+        return {"version": _base_version(), "commit": None,
                 "commit_count": None, "dirty": False,
                 "source": "package"}
     count = _git(["rev-list", "--count", "HEAD"], here)
     status = _git(["status", "--porcelain"], here)
     dirty = bool(status)
-    version = f"{_BASE_VERSION}+g{commit}" + (".dirty" if dirty else "")
+    version = f"{_base_version()}+g{commit}" + (".dirty" if dirty else "")
     return {"version": version, "commit": commit,
             "commit_count": int(count) if count else None,
             "dirty": dirty, "source": "git"}

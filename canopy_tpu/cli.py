@@ -23,17 +23,21 @@ from .errors import Error
 from .settings import Settings
 
 
-def _version_string() -> str:
-    from .build_info import version_string
-    return version_string()
+class _VersionAction(argparse.Action):
+    """Lazy --version: the git subprocesses (commit/count/dirty) run
+    only when the flag is actually given, not on every CLI start."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        from .build_info import version_string
+        print(version_string())
+        parser.exit()
 
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="canopy-tpu",
         description="TPU-native quantification of Open-PSA MEF models.")
-    parser.add_argument("--version", action="version",
-                        version=_version_string(),
+    parser.add_argument("--version", action=_VersionAction, nargs=0,
                         help="build version (git-derived when available)")
     parser.add_argument("input_files", nargs="*",
                         help="MEF XML input files (globs allowed)")

@@ -635,9 +635,8 @@ def simulate_adjoint_program(aprog: AdjointProgram, basic_p: np.ndarray,
                     assert not np.isnan(gstage[buf, off]), \
                         "gstage accumulate before gzero"
                     gstage[buf, off] += g
-    for buf, (c, data) in list(pend_gflush.items()):
-        grad_staged[c * ctile:(c + 1) * ctile] = data
-        del pend_gflush[buf]
+    assert not pend_gflush, \
+        "gradient flush DMA unwaited at kernel end"
     assert not pend_tape, "tape DMA crosses the kernel boundary"
 
     grad_staged = np.nan_to_num(grad_staged, nan=0.0)

@@ -126,7 +126,6 @@ class RiskAnalysis:
         self.model = model
         self.settings = settings
         self._timings: dict[str, float] = {}
-        self._slot_names: dict[int, list] = {}
 
     # -- public ------------------------------------------------------------
 
@@ -260,7 +259,11 @@ class RiskAnalysis:
                         bdd, limit_order=settings.limit_order(),
                         with_truncation=True)
                 except (BddBlowupError, LogicError):
+                    # MOCUS stand-in misses consensus implicants on
+                    # non-coherent trees: record the demotion (the
+                    # exactness-ladder rule — never demote silently).
                     products = None
+                    result.method += "/pi-fallback-mocus-approx"
             if products is None:
                 products = generator.generate(top)
             if not settings.prime_implicants():
@@ -362,7 +365,10 @@ class RiskAnalysis:
                 # level-scheduled evaluation is never silent.
                 from .bdd_eval import make_modular_evaluator
                 unc_fn = make_modular_evaluator(modular_bdd)
-                unc_method = getattr(unc_fn, "method", "bdd")
+                # Resolve the tag for the batch size that actually
+                # runs: off the 1024-trial grid the evaluator falls
+                # back to the f64 level evaluation per call.
+                unc_method = unc_fn.method_for(settings.num_trials())
             if unc_fn is None and products is not None and \
                     settings.approximation() in (Approximation.RARE_EVENT,
                                                  Approximation.MCUB):
@@ -421,14 +427,16 @@ class RiskAnalysis:
             f"{algo}/direct-propagation"
 
     def _literal_name(self, tree: CompiledTree, slot: int, neg: bool) -> str:
-        # Precomputed slot -> name array per tree (the dict scan was
-        # O(n_basic) per literal — quadratic over large product lists).
-        names = self._slot_names.get(id(tree))
+        # Precomputed slot -> name array, cached ON the tree instance
+        # (an id()-keyed dict would alias a freed tree's address to a
+        # new one and return wrong names): the dict scan was O(n_basic)
+        # per literal — quadratic over large product lists.
+        names = getattr(tree, "_slot_name_cache", None)
         if names is None:
             names = [None] * tree.n_basic
             for event_id, s in tree.basic_index.items():
                 names[s] = event_id
-            self._slot_names[id(tree)] = names
+            tree._slot_name_cache = names
         event_id = names[slot] if slot < len(names) else None
         if event_id is None:
             return f"slot{slot}"
@@ -680,8 +688,9 @@ class RiskAnalysis:
             for k, bdd in enumerate(root_bdds):
                 evaluator = make_bdd_evaluator(bdd)
                 top_trials[k] = evaluator(basic_s)
-                if getattr(evaluator, "method", "bdd") != "bdd":
-                    method = evaluator.method
+                per_call = evaluator.method_for(basic_s.shape[0])
+                if per_call != "bdd":
+                    method = per_call
         if len(top_trials) != len(live_gates):
             top_trials = {}
             method = "direct-propagation"

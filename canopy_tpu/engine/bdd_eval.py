@@ -23,14 +23,25 @@ __all__ = ["bdd_probability", "make_bdd_evaluator",
            "make_modular_evaluator"]
 
 
-def _tagged(jitted, method: str):
-    """Wrap a jitted evaluator with a ``.method`` attribute naming the
-    compute path (and its precision) so callers can record it instead of
-    silently demoting — the streaming kernels evaluate in f32 while the
-    level-scheduled fallback keeps the input dtype (f64 by default)."""
+def _tagged(jitted, method: str, streams: bool = False):
+    """Wrap a jitted evaluator with ``.method`` naming the compute path
+    (and its precision) so callers can record it instead of silently
+    demoting — the streaming kernels evaluate in f32 while the
+    level-scheduled fallback keeps the input dtype (f64 by default).
+
+    ``.method`` is the tag for batches that hit the streaming path;
+    ``.method_for(n_trials)`` resolves the tag for a concrete batch
+    size (off the 1024-trial grid the call runs the level evaluation,
+    and the recorded precision must say so)."""
     def call(*args, **kwargs):
         return jitted(*args, **kwargs)
     call.method = method
+
+    def method_for(n_trials: int) -> str:
+        if streams and n_trials % 1024 == 0:
+            return method
+        return "bdd"
+    call.method_for = method_for
     return call
 
 
@@ -121,12 +132,19 @@ def make_bdd_evaluator(bdd: CompiledBdd, engine: str = "auto",
                 and basic_p.shape[0] % 1024 == 0:
             if diff_call is not None:
                 return diff_call(basic_p)
+            if differentiable:
+                # Adjoint unschedulable: stay on the natively
+                # differentiable level evaluation (the raw stream call
+                # has no VJP rule).
+                return bdd_probability(bdd, basic_p)
             from ..ops.stream_kernel import stream_bdd_probability
             return stream_bdd_probability(program, basic_p,
                                           interpret=_interpret)
         return bdd_probability(bdd, basic_p)
-    return _tagged(jax.jit(fn),
-                   "bdd-stream-f32" if program is not None else "bdd")
+    streams = program is not None and (not differentiable
+                                       or diff_call is not None)
+    return _tagged(jax.jit(fn), "bdd-stream-f32" if streams else "bdd",
+                   streams=streams)
 
 
 def make_modular_evaluator(modular, engine: str = "auto",
@@ -209,4 +227,5 @@ def make_modular_evaluator(modular, engine: str = "auto",
             vals = vals.at[:, out_slot].set(value)
         return result
     return _tagged(jax.jit(fn),
-                   "bdd-stream-f32" if programs is not None else "bdd")
+                   "bdd-stream-f32" if programs is not None else "bdd",
+                   streams=programs is not None)

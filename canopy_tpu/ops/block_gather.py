@@ -400,6 +400,9 @@ def block_gather_propagate(program: BlockGatherProgram,
     matmuls cost 2.2x the fused log matmul at fan 8 — choose it when
     exactness matters more than speed.
     """
+    if mode not in ("log", "direct"):
+        raise LogicError(f"block-gather: unknown mode {mode!r} "
+                         "(expected 'log' or 'direct')")
     T = basic_p.shape[0]
     if T % 128:
         raise LogicError("block-gather needs T % 128 == 0")

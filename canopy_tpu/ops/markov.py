@@ -24,9 +24,10 @@ TPU-native design:
   dominated; a zero-pivot check guards misuse), emitting L and U as
   blocked triangular programs.  Factorization is once-per-submodel
   host work; the *solves* — the per-trial/per-time hot path — run on
-  device.  :func:`markov_stationary` uses it beyond the dense
-  crossover, so stationary distributions of 10k+-state chains no
-  longer build an (S, S) dense matrix.
+  device.  :func:`markov_stationary` routes CSR input
+  through it, so stationary distributions of 10k+-state chains never
+  build an (S, S) dense matrix (dense input keeps the jit-traceable
+  dense solve).
 
 Tested against ``scipy.sparse`` oracles at 10k+ states
 (``tests/test_markov.py``).
@@ -396,66 +397,57 @@ def sparse_lu(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     return SparseLU(L=L, U=U, n=n, nnz_factors=nnz, perm=perm)
 
 
-#: Above this state count the stationary solve goes sparse.
-_DENSE_STATIONARY_MAX = 512
-
-
 def markov_stationary(Q, method: str = "auto") -> jnp.ndarray:
     """Stationary distribution: solve pi @ Q = 0, sum(pi) = 1.
 
     ``Q`` may be dense (array) or a CSR triple ``(indptr, indices,
-    data)`` with ``method`` "auto" | "dense" | "sparse".  The sparse
-    path replaces one balance column with the normalization constraint,
-    factorizes ``A^T`` once on the host (:func:`sparse_lu`), and runs
-    the two substitution scans on device — no (S, S) dense matrix is
-    ever built.
+    data)``; ``method`` is "auto" | "dense" | "sparse".  Auto keeps a
+    dense ``Q`` on the dense device solve (jit-traceable, one
+    ``jnp.linalg.solve``) and routes CSR input through the sparse
+    path: one balance column replaced by the normalization constraint,
+    ``A^T`` factorized once on the host (:func:`sparse_lu`), the two
+    substitution scans on device — no (S, S) dense matrix is ever
+    built.  ``method="sparse"`` with a dense ``Q`` forces host
+    conversion (concrete arrays only).
     """
     if isinstance(Q, tuple):
         indptr, indices, data = Q
         S = len(indptr) - 1
         dense_in = None
     else:
-        dense_in = np.asarray(Q, dtype=np.float64)
-        S = dense_in.shape[0]
+        dense_in = Q
+        S = Q.shape[0]
     if method == "auto":
-        method = "dense" if (dense_in is not None
-                             and S <= _DENSE_STATIONARY_MAX) else "sparse"
+        method = "dense" if dense_in is not None else "sparse"
     if method == "dense":
         if dense_in is None:
             raise LogicError("dense stationary solve needs a dense Q")
-        Qj = jnp.asarray(dense_in)
+        Qj = jnp.asarray(dense_in, dtype=jnp.float64)
         A = jnp.concatenate([Qj[:, :-1], jnp.ones((S, 1), dtype=Qj.dtype)],
                             axis=1)
         b = jnp.zeros(S, dtype=Qj.dtype).at[-1].set(1.0)
         return jnp.linalg.solve(A.T, b)
-    # Sparse: build A^T in CSR on the host.  A = Q with its last column
-    # replaced by ones, so A^T row S-1 is all-ones and A^T row j (< S-1)
-    # holds Q[:, j].
-    cols_of_row: list[list[int]] = [[] for _ in range(S)]
-    vals_of_row: list[list[float]] = [[] for _ in range(S)]
+    # Sparse: build A^T in CSR on the host (vectorized).  A = Q with
+    # its last column replaced by ones, so A^T row S-1 is all-ones and
+    # A^T row j (< S-1) holds Q[:, j].
     if dense_in is not None:
-        it = ((i, j, dense_in[i, j]) for i in range(S) for j in range(S)
-              if dense_in[i, j] != 0.0)
+        d = np.asarray(dense_in, dtype=np.float64)
+        rows, cols = np.nonzero(d)
+        vals = d[rows, cols]
     else:
-        def gen():
-            for i in range(S):
-                for k in range(indptr[i], indptr[i + 1]):
-                    yield i, int(indices[k]), float(data[k])
-        it = gen()
-    for i, j, v in it:
-        if j == S - 1:
-            continue                    # replaced by the ones column
-        cols_of_row[j].append(i)        # transpose
-        vals_of_row[j].append(v)
-    cols_of_row[S - 1] = list(range(S))
-    vals_of_row[S - 1] = [1.0] * S
+        rows = np.repeat(np.arange(S), np.diff(np.asarray(indptr)))
+        cols = np.asarray(indices, dtype=np.int64)
+        vals = np.asarray(data, dtype=np.float64)
+    keep = cols != S - 1               # replaced by the ones column
+    # Transposed coordinates: (row=col, col=row), plus the ones row.
+    t_rows = np.concatenate([cols[keep], np.full(S, S - 1)])
+    t_cols = np.concatenate([rows[keep], np.arange(S)])
+    t_vals = np.concatenate([vals[keep], np.ones(S)])
+    order = np.lexsort((t_cols, t_rows))
+    t_rows, t_cols, t_vals = t_rows[order], t_cols[order], t_vals[order]
     ip = np.zeros(S + 1, dtype=np.int64)
-    ix, vx = [], []
-    for j in range(S):
-        order = np.argsort(cols_of_row[j], kind="stable")
-        ix.extend(np.asarray(cols_of_row[j])[order])
-        vx.extend(np.asarray(vals_of_row[j])[order])
-        ip[j + 1] = len(ix)
-    lu = sparse_lu(ip, np.asarray(ix, dtype=np.int64), np.asarray(vx), S)
+    np.add.at(ip, t_rows + 1, 1)
+    ip = np.cumsum(ip)
+    lu = sparse_lu(ip, t_cols, t_vals, S)
     b = jnp.zeros(S, dtype=jnp.float64).at[-1].set(1.0)
     return lu.solve(b)
