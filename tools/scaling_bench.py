@@ -19,6 +19,13 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS"):
+    # Some environments pin the platform at the jax.config level (a
+    # sitecustomize); honor the documented env-var usage regardless.
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np  # noqa: E402
 
 
