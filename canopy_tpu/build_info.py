@@ -46,7 +46,15 @@ def build_info() -> dict:
     installed distribution.
     """
     here = os.path.dirname(os.path.abspath(__file__))
-    commit = _git(["rev-parse", "--short", "HEAD"], here)
+    # Only trust a discovered repo that actually is this project: a
+    # wheel installed into a venv that happens to live inside some
+    # unrelated git checkout must not report that repo's commit state.
+    toplevel = _git(["rev-parse", "--show-toplevel"], here)
+    is_ours = toplevel is not None and (
+        os.path.isdir(os.path.join(toplevel, "canopy_tpu"))
+        or os.path.samefile(toplevel, os.path.dirname(here)))
+    commit = _git(["rev-parse", "--short", "HEAD"], here) \
+        if is_ours else None
     if commit is None:
         return {"version": _base_version(), "commit": None,
                 "commit_count": None, "dirty": False,

@@ -365,10 +365,22 @@ class RiskAnalysis:
                 # level-scheduled evaluation is never silent.
                 from .bdd_eval import make_modular_evaluator
                 unc_fn = make_modular_evaluator(modular_bdd)
-                # Resolve the tag for the batch size that actually
-                # runs: off the 1024-trial grid the evaluator falls
-                # back to the f64 level evaluation per call.
-                unc_method = unc_fn.method_for(settings.num_trials())
+                # Resolve the tag from the batch sizes that actually
+                # run: uncertainty_analysis splits the trials into
+                # batch_size chunks (plus a remainder), and off the
+                # 1024-trial grid each chunk falls back to the f64
+                # level evaluation — the tag must reflect every chunk,
+                # not the total trial count.
+                n_tot = settings.num_trials()
+                bsz = settings.batch_size()
+                if bsz > 1 and bsz < n_tot:
+                    chunk_sizes = {bsz}
+                    if n_tot % bsz:
+                        chunk_sizes.add(n_tot % bsz)
+                else:
+                    chunk_sizes = {n_tot}
+                tags = sorted({unc_fn.method_for(c) for c in chunk_sizes})
+                unc_method = "+".join(tags)
             if unc_fn is None and products is not None and \
                     settings.approximation() in (Approximation.RARE_EVENT,
                                                  Approximation.MCUB):

@@ -296,13 +296,16 @@ def _rcm_order(indptr, indices, n) -> np.ndarray:
 
 
 def sparse_lu(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
-              n: int, pivot_tol: float = 1e-300,
+              n: int, pivot_tol: float | None = None,
               block: int = 128, ordering: str = "rcm") -> SparseLU:
     """Up-looking row LU of a sparse matrix in CSR form (no pivoting).
 
     Intended for CTMC balance matrices (diagonally dominated after the
     normalization-row substitution, so pivoting-free elimination is
-    stable); raises :class:`LogicError` on a (near-)zero pivot.  The
+    stable); raises :class:`LogicError` on a (near-)zero pivot.
+    ``pivot_tol`` defaults to a *relative* threshold —
+    ``1e3 * eps * max|A|`` — so a nearly singular matrix raises instead
+    of silently producing a garbage factorization.  The
     factorization is host work done once per submodel; both factors
     compile to :class:`BlockedTriangular` programs so repeated solves
     (per trial / per time point) run on device.
@@ -332,6 +335,9 @@ def sparse_lu(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
         indices = np.concatenate(new_idx) if new_idx else \
             np.zeros(0, dtype=np.int64)
         data = np.concatenate(new_dat) if new_dat else np.zeros(0)
+    if pivot_tol is None:
+        scale = float(np.max(np.abs(data))) if len(data) else 0.0
+        pivot_tol = 1e3 * np.finfo(np.float64).eps * scale
     U_cols: list[np.ndarray] = [None] * n   # ascending, first is diag
     U_vals: list[np.ndarray] = [None] * n
     L_rows: list[list[tuple[int, float]]] = [None] * n
@@ -365,8 +371,9 @@ def sparse_lu(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
         piv = work.pop(i, 0.0)
         if abs(piv) <= pivot_tol:
             raise LogicError(
-                f"sparse_lu: zero pivot at row {i} (matrix is singular "
-                "or needs pivoting)")
+                f"sparse_lu: (near-)zero pivot {piv:.3e} at row {i} "
+                f"(threshold {pivot_tol:.3e}; matrix is singular or "
+                "needs pivoting)")
         cols = np.array([i] + sorted(work), dtype=np.int64)
         vals = np.array([piv] + [work[c] for c in sorted(work)])
         U_cols[i], U_vals[i] = cols, vals
@@ -450,4 +457,18 @@ def markov_stationary(Q, method: str = "auto") -> jnp.ndarray:
     ip = np.cumsum(ip)
     lu = sparse_lu(ip, t_cols, t_vals, S)
     b = jnp.zeros(S, dtype=jnp.float64).at[-1].set(1.0)
-    return lu.solve(b)
+    pi = lu.solve(b)
+    # Validate the solve: pivoting-free elimination on a matrix that
+    # violates the dominance assumption can complete yet be inaccurate;
+    # check the balance residual on the host before returning.
+    pi_h = np.asarray(pi, dtype=np.float64)
+    resid = np.zeros(S)
+    np.add.at(resid, t_rows, t_vals * pi_h[t_cols])
+    resid[-1] -= 1.0
+    scale = max(float(np.max(np.abs(t_vals))), 1.0)
+    if not np.all(np.abs(resid) <= 1e-8 * scale):
+        raise LogicError(
+            f"markov_stationary: sparse solve residual "
+            f"{np.max(np.abs(resid)):.3e} exceeds 1e-8*|A| — the "
+            "balance matrix needs pivoting (use method='dense')")
+    return pi

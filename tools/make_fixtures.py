@@ -306,7 +306,7 @@ def main() -> None:
     freeze_bdd_vs_mc(name, tree, golden,
                      extra={"top_event": "plant-top", "ccf": True})
 
-    # Brute-force anchor: 2^18 full enumeration (no BDD involvement)
+    # Brute-force anchor: full 2^n_basic enumeration (no BDD involvement)
     # vs the BDD — the strongest independence in the corpus.
     top, events, tree = _noncoherent_with_sane_top(n_basic=18, n_gates=36,
                                                    fanin=3, seed=505)
@@ -323,9 +323,9 @@ def main() -> None:
         "exact_probability": brute,
         "bdd_probability": exact,
         "coherent": False,
-        "derivation": "full 2^18 state enumeration through the "
-                      "propagation engine (no BDD) vs exact BDD; "
-                      "agreement < 1e-11",
+        "derivation": f"full 2^{tree.n_basic} state enumeration "
+                      "through the propagation engine (no BDD) vs "
+                      "exact BDD; agreement < 1e-11",
         "n_basic": tree.n_basic, "n_gates": tree.n_gates,
         "nnz": tree.nnz, "bdd_nodes": bdd.n_nodes,
     }
