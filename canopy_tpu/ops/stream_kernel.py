@@ -38,7 +38,9 @@ __all__ = ["stream_propagate", "stream_propagate_staged", "stage_basic",
            "unstage_basic", "stream_supported", "compile_stream",
            "compile_bdd_stream", "stream_bdd_probability",
            "compile_spill_stream", "spill_propagate",
-           "spill_propagate_staged"]
+           "spill_propagate_staged", "compile_replay_stream",
+           "stage_replay", "replay_propagate", "replay_propagate_staged",
+           "replay_grad_basic"]
 
 _TILE_TRIALS = 1024  # 8 sublanes x 128 lanes per node tile.
 
@@ -370,6 +372,236 @@ def spill_propagate_staged(program, staged: jnp.ndarray,
                 interpret=(pltpu.InterpretParams() if interpret
                            else False),
             )(staged, scratch)
+            scratch = res[0]
+            if final:
+                top = res[1]
+    return top.reshape(n_tiles * _TILE_TRIALS)
+
+
+def _replay_kernel(brs_ref, grs_ref, scr_in, scr_out, *rest, program,
+                   seg_ops, house: np.ndarray, final: bool, glen: int):
+    """One segment of a replay program (``compiler/replay.py``).
+
+    Basic reads stream through the ``bring`` ring from the pre-gathered
+    basic replay stream; inter-segment gate re-reads stream through the
+    ``gring`` ring from this segment's gathered gate stream; short-arc
+    re-reads come straight from the eviction ``slab`` ring; only
+    residual intra-segment arcs pay single-tile refill DMAs.
+    """
+    if final:
+        top_ref, bring, gring, pool, slab, bsems, gsems, fsems, rsems, \
+            dsem = rest
+    else:
+        bring, gring, pool, slab, bsems, gsems, fsems, rsems, dsem = rest
+    del scr_in  # Aliased with scr_out; one ref avoids ambiguity.
+    i = pl.program_id(0)
+    BL = program.brs_len_pad
+    CT = program.brs_chunk
+    GT = program.grs_chunk
+    SR = program.scratch_rows
+    P = program.pool_slots
+    scr = scr_out
+
+    def b_copy(c, buf):
+        return pltpu.make_async_copy(
+            brs_ref.at[pl.ds(i * BL + c * CT, CT)], bring.at[buf],
+            bsems.at[buf])
+
+    def g_copy(c, buf):
+        return pltpu.make_async_copy(
+            grs_ref.at[pl.ds(i * glen + c * GT, GT)], gring.at[buf],
+            gsems.at[buf])
+
+    def f_copy(sbuf, off0, n, row0, sem):
+        return pltpu.make_async_copy(
+            slab.at[sbuf, pl.ds(off0, n)],
+            scr.at[pl.ds(i * SR + row0, n)], fsems.at[sem])
+
+    def r_copy(row, slot, sem):
+        return pltpu.make_async_copy(
+            scr.at[pl.ds(i * SR + row, 1)], pool.at[pl.ds(slot, 1)],
+            rsems.at[sem])
+
+    def dump_copy():
+        return pltpu.make_async_copy(pool, scr.at[pl.ds(i * SR, P)], dsem)
+
+    def load_copy():
+        return pltpu.make_async_copy(scr.at[pl.ds(i * SR, P)], pool, dsem)
+
+    def read(loc):
+        tag = loc[0]
+        if tag == "pool":
+            return pool[loc[1]]
+        if tag == "brs":
+            return bring[loc[1], loc[2]]
+        if tag == "grs":
+            return gring[loc[1], loc[2]]
+        if tag == "slab":
+            return slab[loc[1], loc[2]]
+        return jnp.full((8, 128), float(house[loc[1]]), dtype=jnp.float32)
+
+    for op in seg_ops:
+        tag = op[0]
+        if tag == "bstart":
+            b_copy(op[1], op[2]).start()
+        elif tag == "bwait":
+            b_copy(op[1], op[2]).wait()
+        elif tag == "gstart":
+            g_copy(op[1], op[2]).start()
+        elif tag == "gwait":
+            g_copy(op[1], op[2]).wait()
+        elif tag == "evict":
+            slab[op[2], op[3]] = pool[op[1]]
+        elif tag == "fstart":
+            f_copy(op[1], op[2], op[3], op[4], op[5]).start()
+        elif tag == "fwait":
+            f_copy(op[1], op[2], op[3], op[4], op[5]).wait()
+        elif tag == "rstart":
+            r_copy(op[1], op[2], op[3]).start()
+        elif tag == "rwait":
+            r_copy(op[1], op[2], op[3]).wait()
+        elif tag == "dstart":
+            dump_copy().start()
+        elif tag == "dwait":
+            dump_copy().wait()
+        elif tag == "lstart":
+            load_copy().start()
+        elif tag == "lwait":
+            load_copy().wait()
+        else:  # ("gate", kind, out_slot, locs, aux)
+            _tag, kind, out_slot, locs, aux = op
+            pool[out_slot] = _gate_tile(read, kind, locs, aux)
+
+    if final:
+        top_ref[0] = pool[program.top_slot]
+
+
+def compile_replay_stream(tree: CompiledTree, **kwargs):
+    """Schedule ``tree`` as a replay-stream program
+    (``compiler/replay.py``) — the coalesced-refill engine for trees
+    whose live set thrashes the plain stream pool."""
+    from ..compiler.replay import build_replay_schedule
+    return build_replay_schedule(tree, **kwargs)
+
+
+def stage_replay(program, basic_p: jnp.ndarray) -> jnp.ndarray:
+    """(n_trials, n_basic) -> the basic replay stream the kernel reads.
+
+    One XLA gather lays every basic *read* out in execution order
+    (``program.brs_cols``), tiled per trial-tile — the whole staged
+    input is this stream, so the kernel's basic traffic is purely
+    sequential chunk DMAs.  Stage once per batch; the gather reads the
+    input matrix so re-staging per call would dominate the kernel.
+    """
+    n_trials, n_basic = basic_p.shape
+    if n_basic != program.n_basic:
+        raise LogicError("basic_p width does not match the program")
+    if n_trials % _TILE_TRIALS:
+        raise LogicError("replay kernel needs n_trials % 1024 == 0")
+    n_tiles = n_trials // _TILE_TRIALS
+    cols = jnp.asarray(program.brs_cols)
+    bp = basic_p.astype(jnp.float32)[:, cols].T     # (BL, n_trials)
+    return bp.reshape(program.brs_len_pad, n_tiles, 8, 128) \
+        .transpose(1, 0, 2, 3) \
+        .reshape(n_tiles * program.brs_len_pad, 8, 128)
+
+
+def replay_grad_basic(program, g_brs: jnp.ndarray,
+                      n_trials: int) -> jnp.ndarray:
+    """Accumulate a basic-stream cotangent back to (n_trials, n_basic).
+
+    The forward duplicates each basic read into its own stream entry,
+    so the backward is a segment-sum over entries by basic column —
+    one XLA scatter-add, the exact adjoint of :func:`stage_replay`.
+    """
+    n_tiles = n_trials // _TILE_TRIALS
+    BL = program.brs_len_pad
+    g = g_brs.reshape(n_tiles, BL, 8, 128).transpose(1, 0, 2, 3) \
+        .reshape(BL, n_trials).T                     # (n_trials, BL)
+    cols = jnp.asarray(program.brs_cols)
+    out = jnp.zeros((n_trials, program.n_basic), jnp.float32)
+    return out.at[:, cols].add(g)
+
+
+def replay_propagate(program, basic_p: jnp.ndarray,
+                     house_states: np.ndarray | jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Stage then run a replay program (hot loops: ``stage_replay`` once
+    and call :func:`replay_propagate_staged`)."""
+    return replay_propagate_staged(program, stage_replay(program, basic_p),
+                                   house_states, interpret=interpret)
+
+
+def replay_propagate_staged(program, brs: jnp.ndarray,
+                            house_states: np.ndarray | jnp.ndarray,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Run a segmented replay program on a staged basic stream.
+
+    Each segment is one ``pallas_call``; the HBM scratch (eviction log)
+    threads through the chain via input/output aliasing, and an XLA
+    gather between segments materializes the next segment's gate replay
+    stream from the log in read order — the coalescing step that
+    replaces the spill tier's scattered single-tile refills.
+    """
+    BL = program.brs_len_pad
+    if brs.ndim != 3 or brs.shape[0] % BL or brs.shape[1:] != (8, 128):
+        raise LogicError("staged stream does not match the program")
+    n_tiles = brs.shape[0] // BL
+    house = np.asarray(house_states, dtype=np.float32)
+    SR = program.scratch_rows
+    scratch = jnp.zeros((n_tiles * SR, 8, 128), jnp.float32)
+    scratch_shapes = [
+        pltpu.VMEM((program.brs_bufs, program.brs_chunk, 8, 128),
+                   jnp.float32),
+        pltpu.VMEM((program.grs_bufs, program.grs_chunk, 8, 128),
+                   jnp.float32),
+        pltpu.VMEM((max(program.pool_slots, 1), 8, 128), jnp.float32),
+        pltpu.VMEM((program.slab_bufs, program.slab_tiles, 8, 128),
+                   jnp.float32),
+        pltpu.SemaphoreType.DMA((program.brs_bufs,)),
+        pltpu.SemaphoreType.DMA((program.grs_bufs,)),
+        pltpu.SemaphoreType.DMA((program.n_flush_sems,)),
+        pltpu.SemaphoreType.DMA((program.n_refill_sems,)),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    top = None
+    with jax.enable_x64(False):
+        for k, seg in enumerate(program.segments):
+            final = k == len(program.segments) - 1
+            glen = program.grs_len_pad[k] if k < len(program.grs_len_pad) \
+                else 0
+            if k == 0 or glen == 0:
+                glen = program.grs_chunk
+                grs = jnp.zeros((glen, 8, 128), jnp.float32)
+            else:
+                rows = program.grs_rows[k]
+                idx = (np.arange(n_tiles)[:, None] * SR
+                       + rows[None, :]).ravel()
+                grs = jnp.take(scratch, jnp.asarray(idx), axis=0)
+            kernel = functools.partial(
+                _replay_kernel, program=program, seg_ops=seg, house=house,
+                final=final, glen=glen)
+            out_shape = [jax.ShapeDtypeStruct(scratch.shape, jnp.float32)]
+            out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+            if final:
+                out_shape.append(
+                    jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32))
+                out_specs.append(
+                    pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM))
+            res = pl.pallas_call(
+                kernel,
+                grid=(n_tiles,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                scratch_shapes=scratch_shapes,
+                input_output_aliases={2: 0},
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=True),
+                interpret=(pltpu.InterpretParams() if interpret
+                           else False),
+            )(brs, grs, scratch)
             scratch = res[0]
             if final:
                 top = res[1]

@@ -1,0 +1,202 @@
+"""Replay-stream engine: schedule + hazard-checked simulation + kernel.
+
+The schedule (``compiler/replay.py``) is pure host code validated two
+ways: a host-side reference interpreter executes the op grammar with
+async-DMA hazard checking (ring/slab/refill ordering bugs fail loudly),
+and the Pallas kernel runs in interpret mode on CPU — both compared
+bit-for-bit against the gather engine, which is itself tested against
+brute-force oracles.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from canopy_tpu.compiler.graph import compile_gates
+from canopy_tpu.compiler.replay import (build_replay_schedule,
+                                        simulate_replay_program)
+from canopy_tpu.engine.propagate import top_event_probability
+from canopy_tpu.errors import LogicError
+from canopy_tpu.ops.stream_kernel import (replay_grad_basic,
+                                          replay_propagate,
+                                          replay_propagate_staged,
+                                          stage_replay)
+from canopy_tpu.utils.synthetic import (synthetic_compiled_tree,
+                                        synthetic_hierarchical_tree,
+                                        synthetic_mef_tree)
+
+#: A thrash-shaped schedule config: tiny pool + short segments force
+#: every mechanism (evictions, slab-window reads, inter-segment gather
+#: streams, intra-segment single-tile refills) on trees small enough
+#: for CPU interpret mode.
+THRASH = dict(brs_chunk=16, brs_bufs=3, grs_chunk=8, grs_bufs=2,
+              slab_bufs=3, slab_tiles=8, max_ops_per_segment=150,
+              pool_slots=12, hoist_events=8, n_refill_sems=4,
+              n_flush_sems=2)
+
+
+def _mef_tree(**kwargs):
+    top, _events = synthetic_mef_tree(**kwargs)
+    tree = compile_gates([top])
+    tree.top_index = tree.gate_index[top.id]
+    return tree
+
+
+def _simulate_vs_gather(tree, program, n_trials=4, seed=0):
+    rng = np.random.default_rng(seed)
+    house = tree.house_state_vector()
+    for _ in range(n_trials):
+        basic = rng.uniform(0.0, 1.0, tree.n_basic)
+        got = simulate_replay_program(program, basic, house)
+        want = float(top_event_probability(
+            tree, jnp.asarray(basic[None, :], jnp.float32),
+            jnp.asarray(house))[0])
+        # Same ops, same order, f32 throughout: bit-exact.
+        assert got == want
+
+
+class TestReplaySchedule:
+    def test_all_paths_exercised(self):
+        tree = synthetic_compiled_tree(n_basic=96, n_gates=900, fanin=4,
+                                       n_levels=10, seed=0)
+        program = build_replay_schedule(tree, **THRASH)
+        assert program.n_evicted > 0
+        assert program.n_intra > 0
+        assert program.n_inter > 0
+        assert program.n_slab_reads > 0
+        _simulate_vs_gather(tree, program)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_simulator_matches_gather(self, seed):
+        tree = synthetic_compiled_tree(n_basic=96, n_gates=900, fanin=4,
+                                       n_levels=10, seed=seed)
+        program = build_replay_schedule(tree, **THRASH)
+        _simulate_vs_gather(tree, program, seed=seed)
+
+    @pytest.mark.parametrize("pool,slab_bufs,slab_tiles,seg,hoist", [
+        (12, 2, 4, 64, 0), (16, 4, 4, 100, 16), (24, 3, 8, 5000, 8)])
+    def test_schedule_parameter_sweep(self, pool, slab_bufs, slab_tiles,
+                                      seg, hoist):
+        tree = synthetic_compiled_tree(n_basic=96, n_gates=600, fanin=4,
+                                       n_levels=8, seed=2)
+        program = build_replay_schedule(
+            tree, brs_chunk=16, brs_bufs=3, grs_chunk=8, grs_bufs=2,
+            slab_bufs=slab_bufs, slab_tiles=slab_tiles,
+            max_ops_per_segment=seg, pool_slots=pool,
+            hoist_events=hoist, n_refill_sems=4, n_flush_sems=2)
+        _simulate_vs_gather(tree, program, seed=3)
+
+    def test_atleast_and_negations(self):
+        tree = _mef_tree(n_basic=80, n_gates=120, fanin=4, seed=7,
+                        atleast_fraction=0.3, complement_fraction=0.2)
+        program = build_replay_schedule(
+            tree, brs_chunk=32, brs_bufs=3, grs_chunk=64, grs_bufs=2,
+            slab_bufs=2, slab_tiles=4, max_ops_per_segment=60,
+            pool_slots=48, hoist_events=4, n_refill_sems=4,
+            n_flush_sems=2)
+        _simulate_vs_gather(tree, program, seed=4)
+
+    def test_structured_tree_no_evictions(self):
+        # Hierarchical trees fit the pool: pure stream, zero spilling.
+        tree = synthetic_hierarchical_tree(n_basic=512, branching=8,
+                                           share_fraction=0.1,
+                                           n_shared=16, seed=0)
+        program = build_replay_schedule(tree, pool_slots=256)
+        assert program.n_evicted == 0
+        assert program.n_intra == program.n_inter == 0
+        _simulate_vs_gather(tree, program)
+
+    def test_rejects_degenerate_inputs(self):
+        tree = synthetic_compiled_tree(n_basic=64, n_gates=128, fanin=8,
+                                       n_levels=4, seed=0)
+        with pytest.raises(LogicError):
+            build_replay_schedule(tree, pool_slots=4)  # < max fan-in
+        tree2 = synthetic_compiled_tree(n_basic=64, n_gates=128, fanin=8,
+                                        n_levels=4, seed=0)
+        tree2.top_index = None
+        with pytest.raises(LogicError):
+            build_replay_schedule(tree2)
+
+    def test_scratch_rows_cover_evictions(self):
+        tree = synthetic_compiled_tree(n_basic=96, n_gates=900, fanin=4,
+                                       n_levels=10, seed=1)
+        program = build_replay_schedule(tree, **THRASH)
+        assert program.scratch_rows == \
+            program.pool_slots + max(program.n_evicted, 1)
+        # Every inter-segment gather row points into the eviction log.
+        for rows in program.grs_rows:
+            if len(rows):
+                assert rows.max() < program.scratch_rows
+
+
+class TestReplayKernel:
+    @pytest.mark.parametrize("n_trials", [1024, 2048])
+    def test_interpret_bit_exact_vs_gather(self, n_trials):
+        tree = synthetic_compiled_tree(n_basic=96, n_gates=900, fanin=4,
+                                       n_levels=10, seed=0)
+        program = build_replay_schedule(tree, **THRASH)
+        rng = np.random.default_rng(0)
+        p = jnp.asarray(rng.uniform(0.0, 0.3, (n_trials, tree.n_basic)),
+                        jnp.float32)
+        house = np.zeros(0, np.float32)
+        got = np.asarray(replay_propagate(program, p, house,
+                                          interpret=True))
+        ref = np.asarray(top_event_probability(tree, p,
+                                               jnp.asarray(house)))
+        assert np.array_equal(got, ref)
+
+    def test_staged_reuse_and_determinism(self):
+        tree = synthetic_compiled_tree(n_basic=96, n_gates=600, fanin=4,
+                                       n_levels=8, seed=1)
+        program = build_replay_schedule(tree, **THRASH)
+        rng = np.random.default_rng(1)
+        p = jnp.asarray(rng.uniform(0.0, 0.3, (1024, tree.n_basic)),
+                        jnp.float32)
+        house = np.zeros(0, np.float32)
+        brs = stage_replay(program, p)
+        a = np.asarray(replay_propagate_staged(program, brs, house,
+                                               interpret=True))
+        b = np.asarray(replay_propagate_staged(program, brs, house,
+                                               interpret=True))
+        assert np.array_equal(a, b)
+
+    def test_house_events(self):
+        from test_stream_kernel import mixed_tree
+        tree = mixed_tree(n_house=2)
+        assert tree.n_house >= 1
+        program = build_replay_schedule(
+            tree, brs_chunk=4, brs_bufs=3, grs_chunk=8, grs_bufs=2,
+            slab_bufs=2, slab_tiles=2, max_ops_per_segment=3,
+            pool_slots=8, hoist_events=4, n_refill_sems=4,
+            n_flush_sems=2)
+        house = tree.house_state_vector()
+        rng = np.random.default_rng(2)
+        p = jnp.asarray(rng.uniform(0.0, 0.5, (1024, tree.n_basic)),
+                        jnp.float32)
+        got = np.asarray(replay_propagate(program, p, house,
+                                          interpret=True))
+        ref = np.asarray(top_event_probability(tree, p,
+                                               jnp.asarray(house)))
+        # Mixed count/XOR gates: interpret mode may contract to FMA —
+        # last-ulp tolerance, like the stream-kernel tests.
+        np.testing.assert_allclose(got, ref, rtol=2e-6, atol=1e-7)
+
+    def test_stage_replay_grad_roundtrip(self):
+        """replay_grad_basic is the exact adjoint of stage_replay."""
+        tree = synthetic_compiled_tree(n_basic=96, n_gates=600, fanin=4,
+                                       n_levels=8, seed=1)
+        program = build_replay_schedule(tree, **THRASH)
+        rng = np.random.default_rng(3)
+        p = jnp.asarray(rng.uniform(0.0, 0.3, (1024, tree.n_basic)),
+                        jnp.float32)
+        g = jnp.asarray(rng.normal(size=(program.brs_len_pad, 8, 128)),
+                        jnp.float32)
+        # <stage(p), g> == <p, grad_basic(g)> (adjoint identity, up to
+        # f32 accumulation order in the scatter-add).
+        lhs = float(jnp.vdot(stage_replay(program, p).astype(jnp.float64),
+                             g.astype(jnp.float64)))
+        rhs = float(jnp.vdot(
+            p.astype(jnp.float64),
+            replay_grad_basic(program, g, 1024).astype(jnp.float64)))
+        assert lhs == pytest.approx(rhs, rel=1e-6)
