@@ -387,6 +387,72 @@ def sec_stream(rng, dtype, roofline):
           file=sys.stderr)
 
 
+def sec_replay(rng, dtype, roofline, fanin):
+    """The replay-stream engine on the 65k-gate *uniform* tree — the
+    thrashing access pattern that was the declared north-star miss
+    (gather 0.27, spill tier 0.12 of roofline).  All refill traffic
+    rides sequential replay streams (compiler/replay.py)."""
+    import jax
+    import jax.numpy as jnp
+    from canopy_tpu.compiler.replay import build_replay_schedule
+    from canopy_tpu.engine.propagate import top_event_probability
+    from canopy_tpu.ops.stream_kernel import (replay_propagate_staged,
+                                              stage_replay)
+    from canopy_tpu.utils.synthetic import synthetic_compiled_tree
+
+    rp_gates = int(os.environ.get("BENCH_REPLAY_GATES", "65536"))
+    rp_trials = int(os.environ.get("BENCH_REPLAY_TRIALS", "4096"))
+    tree_rp = synthetic_compiled_tree(n_basic=8192, n_gates=rp_gates,
+                                      fanin=fanin, n_levels=14, seed=0)
+    program_rp = build_replay_schedule(tree_rp)
+    basic_rp = jnp.asarray(
+        rng.uniform(0.0, 0.05, (rp_trials, tree_rp.n_basic)), dtype)
+    brs = jax.jit(lambda p: stage_replay(program_rp, p))(basic_rp)
+    house_rp = np.zeros(0, np.float32)
+
+    @jax.jit
+    def repeat_replay(b, n_iter):
+        def body(i, carry):
+            acc, b = carry
+            b = jax.lax.dynamic_update_index_in_dim(
+                b, b[0] * (1.0 + 1e-9), 0, axis=0)
+            v = replay_propagate_staged(program_rp, b, house_rp)
+            return (acc + v.sum(), b)
+        acc, _ = jax.lax.fori_loop(0, n_iter, body,
+                                   (jnp.asarray(0.0, dtype), b))
+        return acc
+
+    rp_iters = int(os.environ.get("BENCH_REPLAY_ITERS", "256"))
+    rp_dt, rp_iters = measure(
+        lambda n: _best3(repeat_replay, brs, n), rp_iters,
+        name="replay-uniform", work=program_rp.nnz * rp_trials,
+        roofline=roofline)
+    rp_value = program_rp.nnz * rp_trials / rp_dt
+    _record("replay-uniform", rp_value, "nnz*trials/s", rp_dt, rp_iters)
+    # Correctness on hardware: one batch vs the gather engine.
+    check = np.asarray(replay_propagate_staged(program_rp, brs, house_rp))
+    ref = np.asarray(top_event_probability(
+        tree_rp, basic_rp, jnp.asarray(house_rp)), np.float32)
+    rel = float(np.max(np.abs(check - ref) / np.maximum(ref, 1e-30)))
+    # Coalesced-stream DMA accounting per trial-tile: brs reads, grs
+    # gather (read+write+stream read), eviction flushes, boundary
+    # dump/loads, plus single-tile intra refills.
+    n_inter = program_rp.n_inter
+    tiles = (program_rp.brs_len_pad + 3 * n_inter + program_rp.n_evicted
+             + 2 * (len(program_rp.segments) - 1) * program_rp.pool_slots)
+    rp_bytes = tiles * 4096 * (rp_trials // 1024)
+    hbm = _hbm_bandwidth_bytes()
+    print(f"bench[replay {tree_rp.n_gates}g uniform]: "
+          f"{rp_dt*1e3:.3f} ms/iter, {rp_value/1e9:.2f} Gnnz*trials/s "
+          f"= {rp_value/roofline:.2f} of the gather-formulation "
+          f"roofline ({len(program_rp.segments)} segments, "
+          f"{program_rp.n_evicted} evicted, {program_rp.n_intra} intra, "
+          f"{n_inter} inter, {program_rp.n_slab_reads} slab; stream DMA "
+          f"{rp_bytes/1e6:.0f} MB -> {rp_bytes/1e9/rp_dt:.0f} GB/s = "
+          f"{rp_bytes/1e9/rp_dt/(hbm/1e9):.2f} of HBM; max rel err vs "
+          f"gather {rel:.1e})", file=sys.stderr)
+
+
 def sec_spill(rng, dtype, roofline, fanin):
     """The spill-tier stream engine on the 65k-gate *uniform* tree — the
     access pattern whose live set rejects the plain stream pool."""
@@ -851,6 +917,8 @@ def main() -> None:
             return False
         return True
 
+    if want("replay"):
+        run_section("replay", sec_replay, rng, dtype, roofline, fanin)
     if want("adjoint"):
         run_section("adjoint", sec_adjoint, rng, dtype, roofline)
     if want("stream"):

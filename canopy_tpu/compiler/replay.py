@@ -99,6 +99,7 @@ class ReplayProgram:
     brs_chunk: int
     brs_bufs: int
     grs_rows: list        # per segment: np.ndarray of scratch rows (padded)
+    grs_len: list         # per segment: raw (unpadded) entry count
     grs_len_pad: list     # per segment: padded length (0 = no stream)
     grs_chunk: int
     grs_bufs: int
@@ -363,12 +364,14 @@ def _build_replay(gate_rows, n_basic, n_house, top_index, brs_chunk,
         return chunk, chunk % brs_bufs, p % brs_chunk
 
     grs_rows_pad: list[np.ndarray] = []
+    grs_len: list[int] = []
     grs_len_pad: list[int] = []
     for si in range(n_segs):
         rows = grs_rows[si]
         pad = (-len(rows)) % grs_chunk
         arr = np.asarray(rows + [0] * pad, dtype=np.int64)
         grs_rows_pad.append(arr)
+        grs_len.append(len(rows))
         grs_len_pad.append(len(arr))
 
     def grs_resolve(pos: int) -> tuple[int, int, int]:
@@ -592,7 +595,7 @@ def _build_replay(gate_rows, n_basic, n_house, top_index, brs_chunk,
     return ReplayProgram(
         segments=segments, brs_cols=brs_cols_arr,
         brs_len_pad=brs_len_pad, brs_chunk=brs_chunk, brs_bufs=brs_bufs,
-        grs_rows=grs_rows_pad, grs_len_pad=grs_len_pad,
+        grs_rows=grs_rows_pad, grs_len=grs_len, grs_len_pad=grs_len_pad,
         grs_chunk=grs_chunk, grs_bufs=grs_bufs, pool_slots=P,
         slab_bufs=R, slab_tiles=S, n_flush_sems=n_flush_sems,
         n_refill_sems=n_refill_sems, scratch_rows=scratch_rows,

@@ -196,8 +196,17 @@ def top_event_probability(tree: CompiledTree, basic_p: jnp.ndarray,
 #: refills/op 0.65 ran at 16.7 G/s vs gather's 36 — single-tile refill
 #: DMAs sit on the ~32 GB/s small-transfer floor, and deeper semaphore
 #: pipelining does not move it; docs/BENCHMARKS.md). Mildly-spilling
-#: structured trees keep the streaming win.
+#: structured trees keep the streaming win.  The *replay* engine
+#: (compiler/replay.py) removes this wall — measured 254.8 G/s on the
+#: same tree, 14x gather — so auto-dispatch prefers it; the guard only
+#: gates the legacy spill tier when replay compilation is impossible.
 _SPILL_MAX_REFILL_DENSITY = 0.15
+
+#: HBM cap for the replay engine's per-read basic stream under auto
+#: dispatch (bytes).  The stream duplicates one (8, 128) tile per basic
+#: read per trial-tile; beyond this, batch trials or force
+#: ``engine="replay"`` explicitly.
+_REPLAY_HBM_CAP = 6 * 2**30
 
 
 def spill_auto_ok(spill_program) -> bool:
@@ -229,14 +238,16 @@ def make_propagator(tree: CompiledTree, output: str = "top",
     whole-tree-in-VMEM Pallas kernel; TPU only, top output only),
     "stream" (the register-allocated streaming kernel for structured
     trees beyond VMEM; TPU only, top output, T % 1024 == 0),
-    "spill" (the streaming kernel with the Belady-scheduled HBM spill
-    tier — covers cones whose live set exceeds the VMEM pool; same
-    constraints as "stream"),
+    "replay" (the replay-stream kernel — coalesced refill streams for
+    cones whose live set thrashes the VMEM pool; same constraints as
+    "stream"), "spill" (the legacy Belady-scheduled HBM spill tier —
+    single-tile refills; kept for fan-ins wider than the replay rings),
     "block" (the slab-DMA block-gather kernel for big locality-ordered
     trees; TPU only, top output, T % 128 == 0), or "auto" — fused when
     the tree fits VMEM on a TPU backend, stream when a streaming
-    schedule exists (live set fits the VMEM pool), spill when it does
-    not (up to 2M cone edges), else gather. The
+    schedule exists (live set fits the VMEM pool), replay when it does
+    not (up to 2M cone edges; spill if replay cannot schedule), else
+    gather. The
     block engine is opt-in: measured on v5e it trails the XLA gather
     engine (its one-hot selection matmul is FLOP-redundant;
     docs/BENCHMARKS.md). One compilation serves any number of
@@ -250,30 +261,40 @@ def make_propagator(tree: CompiledTree, output: str = "top",
                                           fused_propagate_tiled,
                                           fused_supported,
                                           fused_tiled_supported)
-        from ..ops.stream_kernel import (compile_spill_stream,
-                                         compile_stream, spill_propagate,
+        from ..ops.stream_kernel import (compile_replay_stream,
+                                         compile_spill_stream,
+                                         compile_stream, replay_propagate,
+                                         spill_propagate,
                                          stream_propagate)
 
         tiled_ok = fused_tiled_supported(tree)
         fused_ok = fused_supported(tree)
         program = None
+        replay_program = None
         spill_program = None
         if not tiled_ok:
             try:
                 program = compile_stream(tree)
             except LogicError:
-                # Live set beyond the plain pool: the HBM spill tier
-                # (Belady-scheduled scratch; compiler/spill.py). Capped
-                # in auto mode — each ~16k-op segment is its own Mosaic
-                # compile, so giant cones are opt-in (engine="spill").
+                # Live set beyond the plain pool: the replay engine
+                # (coalesced refill streams, compiler/replay.py —
+                # measured 14x gather on the 65k uniform tree), falling
+                # back to the legacy spill tier only when replay cannot
+                # schedule (e.g. a fan-in wider than the stream rings).
+                # Capped in auto mode — each segment is its own Mosaic
+                # compile, so giant cones are opt-in.
                 if tree.nnz <= 2_000_000:
                     try:
-                        spill_program = compile_spill_stream(tree)
-                        if not spill_auto_ok(spill_program):
-                            spill_program = None
+                        replay_program = compile_replay_stream(tree)
                     except LogicError:
-                        pass
+                        try:
+                            spill_program = compile_spill_stream(tree)
+                            if not spill_auto_ok(spill_program):
+                                spill_program = None
+                        except LogicError:
+                            pass
         if not (tiled_ok or fused_ok or program is not None
+                or replay_program is not None
                 or spill_program is not None):
             engine = "gather"
         else:
@@ -295,6 +316,12 @@ def make_propagator(tree: CompiledTree, output: str = "top",
                     return fused_propagate_tiled(tree, basic_p, house)
                 if program is not None and on_grid:
                     return stream_propagate(program, basic_p, house)
+                if replay_program is not None and on_grid and \
+                        (basic_p.shape[0] // 1024) \
+                        * replay_program.brs_len_pad * 4096 \
+                        <= _REPLAY_HBM_CAP:
+                    return replay_propagate(replay_program, basic_p,
+                                            house)
                 if spill_program is not None and on_grid:
                     return spill_propagate(spill_program, basic_p, house)
                 if fused_ok:
@@ -319,6 +346,25 @@ def make_propagator(tree: CompiledTree, output: str = "top",
             # grid fall back to the gather engine.
             if basic_p.shape[0] % 1024 == 0:
                 return stream_propagate(program, basic_p, house)
+            return top_event_probability(tree, basic_p,
+                                         jnp.asarray(house))
+        return jax.jit(fn)
+    if engine == "replay":
+        from ..ops.stream_kernel import (compile_replay_stream,
+                                         replay_propagate)
+
+        if output != "top":
+            raise ValueError("the replay engine only produces the top value")
+        program = compile_replay_stream(tree)
+        house = _build_house(tree, house_states)
+
+        def fn(basic_p, house_states=None):
+            if house_states is not None:
+                raise ValueError(
+                    "the replay engine bakes house states at build time; "
+                    "pass them to make_propagator(house_states=...)")
+            if basic_p.shape[0] % 1024 == 0:
+                return replay_propagate(program, basic_p, house)
             return top_event_probability(tree, basic_p,
                                          jnp.asarray(house))
         return jax.jit(fn)

@@ -200,3 +200,34 @@ class TestReplayKernel:
             p.astype(jnp.float64),
             replay_grad_basic(program, g, 1024).astype(jnp.float64)))
         assert lhs == pytest.approx(rhs, rel=1e-6)
+
+
+class TestReplayDispatch:
+    def test_explicit_engine_off_grid_falls_back(self):
+        # engine="replay" builds the program; trial counts off the
+        # 1024 grid fall back to the gather engine (runs on CPU).
+        from canopy_tpu.engine.propagate import (make_propagator,
+                                                 top_event_probability)
+        tree = synthetic_compiled_tree(n_basic=96, n_gates=600, fanin=4,
+                                       n_levels=8, seed=1)
+        fn = make_propagator(tree, engine="replay")
+        rng = np.random.default_rng(5)
+        p = jnp.asarray(rng.uniform(0.0, 0.3, (100, tree.n_basic)),
+                        jnp.float32)
+        got = np.asarray(fn(p))
+        want = np.asarray(top_event_probability(
+            tree, p, jnp.asarray(tree.house_state_vector())))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_replay_preferred_over_spill(self):
+        # The auto-dispatch order: a tree the plain stream rejects must
+        # compile as a replay program (spill is the fallback).
+        from canopy_tpu.errors import LogicError
+        from canopy_tpu.ops.stream_kernel import (compile_replay_stream,
+                                                  compile_stream)
+        tree = synthetic_compiled_tree(n_basic=8192, n_gates=65536,
+                                       fanin=4, n_levels=14, seed=0)
+        with pytest.raises(LogicError):
+            compile_stream(tree)        # live set too wide
+        program = compile_replay_stream(tree)
+        assert program.n_evicted > 0    # genuinely pool-bound
