@@ -118,6 +118,9 @@ class ReplayProgram:
     n_intra: int
     n_inter: int
     n_slab_reads: int
+    #: Semantic trace for the adjoint compiler: residency intervals,
+    #: per-gate routed arg semantics, per-segment event order.
+    trace: dict | None = None
 
     @property
     def vmem_bytes(self) -> int:
@@ -209,6 +212,15 @@ def _build_replay(gate_rows, n_basic, n_house, top_index, brs_chunk,
 
     evict_t: list[int] = []      # stream index of each eviction event
 
+    # Semantic trace for the adjoint compiler (compiler/replay_adjoint):
+    # residency intervals per value, per-gate routed arg semantics, the
+    # eviction/refill event order per segment.
+    tr_intervals: list[dict] = []
+    tr_cur: dict[int, int] = {}          # value -> open interval id
+    tr_gates: list[dict] = []
+    tr_evicts: list[dict] = []
+    tr_seg_events: list[list] = [[] for _ in range(n_segs)]
+
     def next_use(v: int, after: int) -> int:
         uses = gate_uses.get(v)
         if not uses:
@@ -246,6 +258,11 @@ def _build_replay(gate_rows, n_basic, n_house, top_index, brs_chunk,
         e = E
         E += 1
         last_evict[victim] = (e, seg_of(g))
+        iid = tr_cur.pop(victim)
+        tr_intervals[iid]["end"] = ("evict", e)
+        tr_evicts.append(dict(value=victim, slot=slot, seg=seg_of(g),
+                              interval=iid))
+        tr_seg_events[seg_of(g)].append(("evict", e))
         t = len(stream)
         evict_t.append(t)
         stream.append(("evict", slot, e))
@@ -271,15 +288,21 @@ def _build_replay(gate_rows, n_basic, n_house, top_index, brs_chunk,
         kind, out, args, aux = row
         protect = {a for a, _f in args if a >= n_b + n_h} | {out}
         locs = []
-        for arg, flag in args:
+        sem_args = []
+        for ai, (arg, flag) in enumerate(args):
             if arg < n_b:
+                sem_args.append((("brs", len(brs_cols)), flag))
                 locs.append((("brs", len(brs_cols)), flag))
                 brs_cols.append(arg)
                 continue
             if arg < n_b + n_h:
+                sem_args.append((("house", arg - n_b), flag))
                 locs.append((("house", arg - n_b), flag))
                 continue
             if arg in resident:
+                iid = tr_cur[arg]
+                tr_intervals[iid]["reads"].append((g, ai))
+                sem_args.append((("pool", iid), flag))
                 locs.append((("pool", resident[arg]), flag))
                 heapq.heappush(heap, (-next_use(arg, g + 1), arg))
                 continue
@@ -289,10 +312,12 @@ def _build_replay(gate_rows, n_basic, n_house, top_index, brs_chunk,
             margin = len(args) + 1
             if es == s and E + margin < (e // slab_tiles
                                          + slab_bufs) * slab_tiles:
+                sem_args.append((("slab", e), flag))
                 locs.append((("slab", (e // slab_tiles) % slab_bufs,
                               e % slab_tiles), flag))
                 n_slab_reads += 1
             elif es < s:
+                sem_args.append((("grs", s, len(grs_rows[s])), flag))
                 locs.append((("grs", s, len(grs_rows[s])), flag))
                 grs_rows[s].append(P + e)
                 n_inter += 1
@@ -302,27 +327,47 @@ def _build_replay(gate_rows, n_basic, n_house, top_index, brs_chunk,
                            free_time=freed_t, evict_event=e,
                            evict_time=evict_t[e],
                            barrier_time=last_barrier,
-                           consume_time=None, k=len(refills))
+                           consume_time=None, k=len(refills), seg=s)
+                iid = len(tr_intervals)
+                tr_intervals.append(dict(slot=slot,
+                                         start=("refill", rec["k"]),
+                                         end=None, reads=[(g, ai)]))
+                tr_cur[arg] = iid
+                rec["interval"] = iid
+                tr_seg_events[s].append(("refill", rec["k"]))
                 refills.append(rec)
                 stream.append(("refill", rec))
                 resident[arg] = slot
                 heapq.heappush(heap, (-next_use(arg, g + 1), arg))
                 n_intra += 1
+                sem_args.append((("pool", iid), flag))
                 locs.append((("pool", slot), flag))
         # Free dead resident args before allocating the output.
         for arg in {a for a, _f in args}:
             if arg >= n_b + n_h and arg in resident \
                     and next_use(arg, g + 1) == _INF:
                 free.append((resident.pop(arg), len(stream)))
+                tr_intervals[tr_cur.pop(arg)]["end"] = ("death",)
         out_slot, _ft = alloc(g, protect)
         resident[out] = out_slot
+        out_iid = len(tr_intervals)
+        tr_intervals.append(dict(slot=out_slot, start=("def", g),
+                                 end=None, reads=[]))
+        tr_cur[out] = out_iid
+        tr_gates.append(dict(kind=kind, aux=aux, seg=s, args=sem_args,
+                             out_interval=out_iid, g=g))
+        tr_seg_events[s].append(("gate", g))
         stream.append(("gate", kind, out_slot, locs, aux))
         t = len(stream) - 1
         if out != top_index and next_use(out, g + 1) == _INF:
             free.append((resident.pop(out), t))
+            tr_intervals[tr_cur.pop(out)]["end"] = ("death",)
         else:
             heapq.heappush(heap, (-next_use(out, g + 1), out))
     brs_seg_end.append(len(brs_cols))
+    for iid in tr_cur.values():
+        if tr_intervals[iid]["end"] is None:
+            tr_intervals[iid]["end"] = ("death",)
 
     if top_index not in resident:   # pragma: no cover - defensive
         raise LogicError("replay schedule lost the top value")
@@ -592,6 +637,12 @@ def _build_replay(gate_rows, n_basic, n_house, top_index, brs_chunk,
             f"replay schedule needs {vmem} bytes VMEM "
             f"(budget {vmem_budget})")
 
+    trace = dict(
+        intervals=tr_intervals, gates=tr_gates, evicts=tr_evicts,
+        seg_events=tr_seg_events, brs_seg_end=list(brs_seg_end),
+        refills=[dict(k=r["k"], evict_event=r["evict_event"],
+                      slot=r["slot"], seg=r["seg"],
+                      interval=r["interval"]) for r in refills])
     return ReplayProgram(
         segments=segments, brs_cols=brs_cols_arr,
         brs_len_pad=brs_len_pad, brs_chunk=brs_chunk, brs_bufs=brs_bufs,
@@ -601,7 +652,7 @@ def _build_replay(gate_rows, n_basic, n_house, top_index, brs_chunk,
         n_refill_sems=n_refill_sems, scratch_rows=scratch_rows,
         top_slot=top_slot, nnz=nnz, n_ops=n_ops, n_basic=n_b,
         n_house=n_h, n_evicted=n_evicted, n_intra=n_intra,
-        n_inter=n_inter, n_slab_reads=n_slab_reads)
+        n_inter=n_inter, n_slab_reads=n_slab_reads, trace=trace)
 
 
 # ---------------------------------------------------------------------------

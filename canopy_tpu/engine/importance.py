@@ -115,7 +115,9 @@ def make_stream_importance_fn(tree: CompiledTree,
         program = compile_stream(tree)
         aprog = compile_adjoint(program)
     except LogicError:
-        return None
+        # Pool-thrashing trees: the replay engine's adjoint
+        # (compiler/replay_adjoint.py) — importance at spill scale.
+        return _make_replay_importance_fn(tree, house_states, interpret)
     house = tree.house_state_vector() if house_states is None \
         else np.asarray(house_states)
     f = make_differentiable_stream(aprog, house, interpret=interpret)
@@ -123,6 +125,26 @@ def make_stream_importance_fn(tree: CompiledTree,
     def top_fn(p):
         bp = jnp.broadcast_to(p.astype(jnp.float32), (1024, tree.n_basic))
         return f(stage_basic(program, bp)).mean()
+    return top_fn
+
+
+def _make_replay_importance_fn(tree: CompiledTree, house_states,
+                               interpret: bool):
+    from ..compiler.replay_adjoint import build_replay_adjoint
+    from ..errors import LogicError
+    from ..ops.replay_adjoint_kernel import make_differentiable_replay
+    from ..ops.stream_kernel import stage_replay
+    try:
+        aprog = build_replay_adjoint(tree)
+    except LogicError:
+        return None
+    house = tree.house_state_vector() if house_states is None \
+        else np.asarray(house_states)
+    f = make_differentiable_replay(aprog, house, interpret=interpret)
+
+    def top_fn(p):
+        bp = jnp.broadcast_to(p.astype(jnp.float32), (1024, tree.n_basic))
+        return f(stage_replay(aprog.base, bp)).mean()
     return top_fn
 
 
