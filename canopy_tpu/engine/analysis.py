@@ -420,17 +420,142 @@ class RiskAnalysis:
 
         out = [result]
 
-        # Alignment phases: per-phase re-analysis (only at the root call).
-        if house_overrides is None and tag is None:
-            for alignment in self.model.alignments:
-                for phase in alignment.phases:
-                    overrides = {inst.name: inst.state
-                                 for inst in phase.instructions}
-                    out.extend(self._analyze_top(
-                        tree_name, top, house_overrides=overrides,
-                        mission_time=mission * phase.time_fraction,
-                        tag=(alignment.name, phase.name)))
+        # Alignment phases (only at the root call): one compile + one
+        # batched evaluation for all phases in the default BDD-exact
+        # configuration (phase mission times batch through the traced
+        # expression tape, phase house vectors group by distinct config
+        # like the event-tree house_batch); analyses that produce
+        # per-phase derived artifacts (importance, uncertainty, SIL,
+        # time curves, non-default approximations) keep the faithful
+        # per-phase re-analysis.
+        if house_overrides is None and tag is None and \
+                self.model.alignments:
+            batched_ok = (
+                settings.algorithm() == Algorithm.BDD
+                and settings.approximation() == Approximation.NONE
+                and not settings.prime_implicants()
+                and not settings.importance_analysis()
+                and not settings.uncertainty_analysis()
+                and not settings.safety_integrity_levels()
+                and settings.time_step() <= 0)
+            if batched_ok:
+                out.extend(self._analyze_phases_batched(
+                    tree_name, top, tree, tape, mission))
+            else:
+                for alignment in self.model.alignments:
+                    for phase in alignment.phases:
+                        overrides = {inst.name: inst.state
+                                     for inst in phase.instructions}
+                        out.extend(self._analyze_top(
+                            tree_name, top, house_overrides=overrides,
+                            mission_time=mission * phase.time_fraction,
+                            tag=(alignment.name, phase.name)))
         return out
+
+    def _analyze_phases_batched(self, tree_name: str, top: Gate, tree,
+                                tape, mission: float
+                                ) -> list[FaultTreeResult]:
+        """All alignment phases of ``top`` in one batched pass.
+
+        Reuses the root analysis' compiled tree and expression tape (no
+        per-phase recompile); phase mean probabilities come from ONE
+        batched tape evaluation over the phase mission times; phases
+        group by distinct house configuration — each group shares one
+        modular BDD and one products run (mission-independent at
+        approximation NONE) and quantifies all its phases in one
+        batched evaluation.  Ref: ``alignment.h:17-37``,
+        ``phase.h:7-37``; the event-tree house batching is
+        ``_analyze_event_tree``.
+        """
+        settings = self.settings
+        t0 = time.perf_counter()
+        house_rows, times, tags = [], [], []
+        for alignment in self.model.alignments:
+            for phase in alignment.phases:
+                house = tree.house_state_vector()
+                for inst in phase.instructions:
+                    slot = tree.house_index.get(inst.name)
+                    if slot is not None:
+                        house[slot - tree.n_basic] = \
+                            1.0 if inst.state else 0.0
+                house_rows.append(house)
+                times.append(mission * phase.time_fraction)
+                tags.append((alignment.name, phase.name))
+        p_batch = jnp.clip(
+            tape.evaluate_mean(jnp.asarray(np.asarray(times))), 0.0, 1.0)
+        results: list[FaultTreeResult | None] = [None] * len(tags)
+        by_house: dict[bytes, list[int]] = {}
+        for i, h in enumerate(house_rows):
+            by_house.setdefault(h.tobytes(), []).append(i)
+        for ks in by_house.values():
+            house = house_rows[ks[0]]
+            method = self._method_name()
+            top_fn = None
+            try:
+                from ..compiler.modules import (build_modular_bdd,
+                                                modular_probability)
+                modular = build_modular_bdd(tree,
+                                            house_states=np.asarray(house))
+                top_fn = lambda p, m=modular: modular_probability(m, p)  # noqa: E731
+            except BddBlowupError:
+                method = "bdd-fallback/direct-propagation"
+            products = None
+            truncated = None
+            if not settings.skip_products():
+                generator = CutSetGenerator(
+                    tree, limit_order=settings.limit_order(), cut_off=0.0,
+                    probabilities=np.asarray(p_batch[ks[0]]))
+                if top_fn is not None:
+                    try:
+                        from ..compiler.zbdd import bdd_minimal_cut_sets
+                        bdd = build_bdd(tree,
+                                        house_states=np.asarray(house))
+                        products, truncated = bdd_minimal_cut_sets(
+                            bdd, limit_order=settings.limit_order(),
+                            with_truncation=True)
+                    except BddBlowupError:
+                        products = None
+                if products is None:
+                    products = generator.generate(top)
+                    truncated = generator.truncated
+                products = CutSetGenerator._minimize(
+                    frozenset(lit for lit in p if not lit[1])
+                    for p in products)
+                products = self._apply_substitutions(tree, products)
+            # ONE batched quantification across this group's phases.
+            group_p = p_batch[jnp.asarray(np.asarray(ks))]
+            probs = None
+            if settings.probability_analysis():
+                if top_fn is not None:
+                    probs = np.asarray(top_fn(group_p))
+                else:
+                    probs = np.asarray(top_event_probability(
+                        tree, group_p, jnp.asarray(house)))
+            prod_probs = None
+            if products:
+                prod_probs = np.asarray(product_probabilities(
+                    build_cutset_matrix(products, tree.n_basic), group_p))
+            for j, k in enumerate(ks):
+                result = FaultTreeResult(
+                    fault_tree=tree_name, top_event=top.id, method=method)
+                result.alignment, result.phase = tags[k]
+                if probs is not None:
+                    result.probability = float(probs[j])
+                if products is not None:
+                    result.n_products = len(products)
+                    result.products_truncated = truncated
+                    qs = prod_probs[j] if prod_probs is not None \
+                        else np.zeros(0)
+                    listed = sorted(zip(products, qs),
+                                    key=lambda pair: -pair[1])
+                    result.products = [
+                        (len(p), float(q), sorted(
+                            self._literal_name(tree, slot, neg)
+                            for slot, neg in p))
+                        for p, q in listed[:1000]]
+                results[k] = result
+        self._timings[f"phases:{top.id}"] = time.perf_counter() - t0
+        return [r for r in results if r is not None]
 
     def _method_name(self) -> str:
         algo = self.settings.algorithm().name.lower()

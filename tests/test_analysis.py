@@ -218,3 +218,75 @@ class TestSequenceUncertainty:
         schema = os.path.join(os.path.dirname(schemas.__file__),
                               "report.rng")
         Validator(schema).validate(Document.from_string(xml.decode()))
+
+
+class TestBatchedPhases:
+    """Alignment phases as one batched pass (VERDICT r4 item 4)."""
+
+    def _model_with_many_phases(self, n_phases=12):
+        from canopy_tpu.mef.alignment import Alignment, Phase
+        from canopy_tpu.mef.element import Table
+        from canopy_tpu.mef.instruction import SetHouseEvent
+        settings = Settings().probability_analysis(True).ccf_analysis(True)
+        model = load_demo(settings)
+        model.alignments = Table("alignment")
+        al = Alignment("sweep")
+        for i in range(n_phases):
+            ph = Phase(f"p{i}", 1.0 / n_phases)
+            if i % 3 == 0 and model.house_events:
+                inst = SetHouseEvent(
+                    next(iter(model.house_events)).name, bool(i % 2))
+                ph.instructions.append(inst)
+            al.add(ph)
+        model.alignments.add(al)
+        return model, settings
+
+    def test_batched_matches_per_phase_loop(self):
+        import canopy_tpu.engine.analysis as amod
+        model, settings = self._model_with_many_phases(12)
+        fast = RiskAnalysis(model, settings).run()
+        # Force the per-phase loop by disabling eligibility (prime
+        # implicants excluded from the fast path).
+        orig = amod.RiskAnalysis._analyze_phases_batched
+        try:
+            def boom(self, *a, **k):
+                raise AssertionError("fast path fired")
+            amod.RiskAnalysis._analyze_phases_batched = boom
+            # Re-run with eligibility off via importance (any per-phase
+            # derived analysis keeps the loop).
+            s2 = (Settings().probability_analysis(True)
+                  .ccf_analysis(True).importance_analysis(True))
+            model2, _ = self._model_with_many_phases(12)
+            slow = RiskAnalysis(model2, s2).run()
+        finally:
+            amod.RiskAnalysis._analyze_phases_batched = orig
+        fa = {(r.alignment, r.phase): r for r in fast.fault_trees
+              if r.alignment}
+        sl = {(r.alignment, r.phase): r for r in slow.fault_trees
+              if r.alignment}
+        assert set(fa) == set(sl) and len(fa) == 12
+        for key in fa:
+            assert fa[key].probability == pytest.approx(
+                sl[key].probability, rel=1e-12, abs=1e-300)
+            assert fa[key].n_products == sl[key].n_products
+
+    def test_batched_is_one_pass(self):
+        """The fast path must not re-run the whole analysis per phase:
+        compile/bdd timings appear once, phases as a single entry, and
+        wall time stays far below 12x the root analysis."""
+        model, settings = self._model_with_many_phases(12)
+        ra = RiskAnalysis(model, settings)
+        report = ra.run()
+        t = report.timings
+        top_id = [r.top_event for r in report.fault_trees][0]
+        # One compile, one phases entry; no per-phase compile entries.
+        assert sum(1 for k in t if k.startswith("compile:")) == 1
+        assert any(k.startswith("phases:") for k in t)
+        n_phase_results = sum(1 for r in report.fault_trees if r.alignment)
+        assert n_phase_results == 12
+        root_cost = (t[f"compile:{top_id}"]
+                     + t.get(f"bdd:{top_id}", 0.0)
+                     + t.get(f"products:{top_id}", 0.0)
+                     + t.get(f"probability:{top_id}", 0.0))
+        # 12 phases, 2 distinct house configs: far below 12 re-runs.
+        assert t[f"phases:{top_id}"] < 6 * root_cost + 2.0
