@@ -687,8 +687,11 @@ def sec_mc(rng, roofline, tree, n_trials, iters, best_float):
 
 
 def sec_block_gather(rng, dtype, roofline):
-    """Block-gather engine (direct vs log mode) vs gather, on the same
-    locality-reordered tree."""
+    """Block-gather engine (direct vs log mode) vs gather AND vs the
+    stream engine on the same locality-reordered tree — the dominance
+    measurement: auto-dispatch routes this tree to the stream engine,
+    so block-gather's win-vs-gather only matters if it also beats
+    stream (VERDICT r3 item 6)."""
     import jax
     import jax.numpy as jnp
     from canopy_tpu.compiler.reorder import locality_reorder
@@ -696,6 +699,8 @@ def sec_block_gather(rng, dtype, roofline):
     from canopy_tpu.ops.block_gather import (auto_t_tile,
                                              block_gather_propagate,
                                              compile_block_gather)
+    from canopy_tpu.ops.stream_kernel import (compile_stream, stage_basic,
+                                              stream_propagate_staged)
     from canopy_tpu.utils.synthetic import synthetic_hierarchical_tree
 
     house = jnp.zeros((0,), dtype=dtype)
@@ -751,6 +756,32 @@ def sec_block_gather(rng, dtype, roofline):
         roofline=roofline)
     _record("gather-on-bg-tree", tree_bg.nnz * bg_trials / g_dt,
             "nnz*trials/s", g_dt, g_used)
+    # The engine auto-dispatch actually picks here: the plain stream
+    # schedule (the tree's live set is tiny once reordered).
+    s_dt = None
+    if bg_trials % 1024 == 0:
+        program_s = compile_stream(tree_bg)
+        staged_bg = jax.jit(lambda p: stage_basic(program_s, p))(basic_bg)
+        house_bg = np.zeros(0, np.float32)
+
+        @jax.jit
+        def repeat_stream_bg(s, n_iter):
+            def body(i, carry):
+                acc, s = carry
+                s = jax.lax.dynamic_update_index_in_dim(
+                    s, s[0] * (1.0 + 1e-9), 0, axis=0)
+                v = stream_propagate_staged(program_s, s, house_bg)
+                return (acc + v.sum(), s)
+            acc, _ = jax.lax.fori_loop(0, n_iter, body,
+                                       (jnp.asarray(0.0, dtype), s))
+            return acc
+
+        s_dt, s_used = measure(
+            lambda n: _best3(repeat_stream_bg, staged_bg, n), bg_iters,
+            name="stream-on-bg-tree", work=program_s.nnz * bg_trials,
+            roofline=roofline)
+        _record("stream-on-bg-tree", program_s.nnz * bg_trials / s_dt,
+                "nnz*trials/s", s_dt, s_used)
     # Exactness of the direct mode on hardware.
     got = np.asarray(block_gather_propagate(program_bg, basic_bg,
                                             t_tile=bg_t, mode="direct"))

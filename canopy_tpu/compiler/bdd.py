@@ -335,9 +335,37 @@ def build_bdd_multi(tree: CompiledTree, root_slots: list[int],
         node_bdd[slot] = _ONE if state else _ZERO
 
     # Gates in slot order are already level-ordered (args first).
-    for gate in tree.gates:
-        slot = tree.gate_index[gate.id]
-        node_bdd[slot] = _formula_bdd(forest, gate.formula, tree, node_bdd)
+    if tree.gates:
+        for gate in tree.gates:
+            slot = tree.gate_index[gate.id]
+            node_bdd[slot] = _formula_bdd(forest, gate.formula, tree,
+                                          node_bdd)
+    else:
+        # Array-backed tree (no MEF gate objects — e.g. synthetic or
+        # deserialized compiled models): build gate BDDs straight from
+        # the level-block rows, whose semantics are the ones every
+        # engine evaluates (maybe-NOT of AND over maybe-NOT'ed args /
+        # XOR-IFF pairs / count windows).
+        from .schedule import _emit_gate_ops
+        for kind, out, args, aux in _emit_gate_ops(tree):
+            nodes = []
+            for slot, flag in args:
+                b = node_bdd[slot]
+                nodes.append(forest.not_(b) if flag else b)
+            if kind == "prod":
+                acc = _ONE
+                for b in nodes:
+                    acc = forest.and_(acc, b)
+                node_bdd[out] = forest.not_(acc) if aux else acc
+            elif kind == "pair":
+                x = forest.xor(nodes[0], nodes[1])
+                node_bdd[out] = forest.not_(x) if aux else x
+            else:  # count: [lo, hi] successes window
+                lo, hi = aux
+                at_lo = forest.atleast(lo, nodes) if lo > 0 else _ONE
+                above = forest.atleast(hi + 1, nodes) \
+                    if hi < len(nodes) else _ZERO
+                node_bdd[out] = forest.and_(at_lo, forest.not_(above))
     forest.check_overflow()
 
     return [_schedule(forest, node_bdd[slot], tree.n_basic, slot_of_var)

@@ -67,8 +67,16 @@ def find_modules(tree: CompiledTree) -> list[int]:
     gate_of_slot = {tree.gate_index[g.id]: g for g in tree.gates}
 
     args_of: dict[int, list[int]] = {}
-    for slot, gate in gate_of_slot.items():
-        args_of[slot] = [s for s, _c in _gate_args(tree, gate) if s >= 0]
+    if gate_of_slot:
+        for slot, gate in gate_of_slot.items():
+            args_of[slot] = [s for s, _c in _gate_args(tree, gate)
+                             if s >= 0]
+    else:
+        # Array-backed tree (no MEF gate objects): argument structure
+        # straight from the level-block rows.
+        from .schedule import _emit_gate_ops
+        for _kind, out, args, _aux in _emit_gate_ops(tree):
+            args_of[out] = [s for s, _f in args]
 
     clock = 0
     first: dict[int, int] = {}
@@ -150,6 +158,13 @@ def build_modular_bdd(tree: CompiledTree, max_nodes: int = 2_000_000,
     house_of_slot = {tree.n_basic + i: bool(house_states[i] > 0.5)
                      for i in range(tree.n_house)}
     gate_of_slot = {tree.gate_index[g.id]: g for g in tree.gates}
+    rows_of_slot: dict[int, tuple] = {}
+    if not gate_of_slot:
+        # Array-backed tree: gate semantics from the level-block rows
+        # (the same rows every engine evaluates).
+        from .schedule import _emit_gate_ops
+        for kind, out, args, aux in _emit_gate_ops(tree):
+            rows_of_slot[out] = (kind, args, aux)
 
     # Bottom-up order: slot order is topological by construction.
     roots = sorted(modules) + [tree.top_index]
@@ -183,9 +198,30 @@ def build_modular_bdd(tree: CompiledTree, max_nodes: int = 2_000_000,
             found = memo.get(slot)
             if found is not None:
                 return found
-            result = _gate_bdd(gate_of_slot[slot])
+            result = (_gate_bdd(gate_of_slot[slot]) if gate_of_slot
+                      else _row_bdd(rows_of_slot[slot]))
             memo[slot] = result
             return result
+
+        def _row_bdd(row) -> int:
+            kind, args, aux = row
+            nodes = []
+            for slot, flag in args:
+                n = node_for(slot)
+                nodes.append(forest.not_(n) if flag else n)
+            if kind == "prod":
+                out = 1
+                for a in nodes:
+                    out = forest.and_(out, a)
+                return forest.not_(out) if aux else out
+            if kind == "pair":
+                x = forest.xor(nodes[0], nodes[1])
+                return forest.not_(x) if aux else x
+            lo, hi = aux
+            at_lo = forest.atleast(lo, nodes) if lo > 0 else 1
+            above = forest.atleast(hi + 1, nodes) \
+                if hi < len(nodes) else 0
+            return forest.and_(at_lo, forest.not_(above))
 
         def _gate_bdd(gate: Gate) -> int:
             from ..mef.event import Connective

@@ -36,7 +36,8 @@ from ..engine.cutset_quantify import CutSetMatrix
 from ..engine.propagate import propagate_probability
 from ..errors import LogicError
 
-__all__ = ["sharded_uncertainty_step", "sharded_cutset_quantifier",
+__all__ = ["sharded_stream_grad_step",
+           "sharded_uncertainty_step", "sharded_cutset_quantifier",
            "sharded_stream_step"]
 
 
@@ -162,5 +163,60 @@ def sharded_stream_step(program, mesh: Mesh,
         # staged layout (each block is n_basic_pad rows).
         assert (staged.shape[0] // n_dev) % nbp == 0
         return sharded(staged)
+
+    return step
+
+
+def sharded_stream_grad_step(aprog, mesh: Mesh,
+                             house_states: np.ndarray,
+                             interpret: bool = False,
+                             _local_override=None):
+    """Data-parallel importance backward: jitted
+    ``(basic_p_batch) -> (per-trial tops, grad_basic)``.
+
+    The adjoint stream program (``ops/adjoint_kernel``) under explicit
+    ``shard_map``: each device runs its own taped forward + reversed
+    backward over its trial tiles (one ``jax.vjp``, no collectives —
+    per-trial tops and per-trial basic gradients concatenate).  The
+    importance analysis path's sharding plumbing, data-parallel.
+
+    Same tile-alignment contract as :func:`sharded_stream_step`.
+    """
+    from ..ops.adjoint_kernel import make_differentiable_stream
+    from ..ops.stream_kernel import stage_basic, unstage_basic
+
+    axes = tuple(mesh.axis_names)
+    n_dev = int(mesh.devices.size)
+    program = aprog.base
+    nbp = program.n_basic_pad
+    f = make_differentiable_stream(aprog, house_states,
+                                   interpret=interpret)
+
+    def local(staged_local):
+        tops, vjp = jax.vjp(f, staged_local)
+        (g_staged,) = vjp(jnp.ones_like(tops))
+        return tops, g_staged
+
+    if _local_override is not None:  # Testing hook (sharding plumbing).
+        local = _local_override
+
+    sharded = shard_map(local, mesh=mesh, in_specs=P(axes, None, None),
+                        out_specs=(P(axes), P(axes, None, None)),
+                        check_vma=False)
+
+    @jax.jit
+    def step(basic_p):
+        n_trials = basic_p.shape[0]
+        if n_trials % (1024 * n_dev):
+            raise LogicError(
+                f"sharded stream grad step needs n_trials % "
+                f"{1024 * n_dev} == 0 (whole tiles per device)")
+        staged = stage_basic(program, basic_p)
+        assert (staged.shape[0] // n_dev) % nbp == 0
+        tops, g_staged = sharded(staged)
+        # stage_basic is a pure permutation: its transpose is the
+        # inverse permutation, so the basic-space gradient is one
+        # unstage of the staged-space cotangent.
+        return tops, unstage_basic(program, g_staged)
 
     return step

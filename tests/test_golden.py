@@ -108,3 +108,39 @@ class TestHandEventTree:
         assert set(by_name) == set(golden["sequences"])
         for seq, want in golden["sequences"].items():
             assert abs(by_name[seq].probability - want) < 1e-12, seq
+
+
+class TestGoldenSubstitution:
+    """Substitution-bearing anchor: hand-derived product set and
+    closed-form probability through the full analysis stack."""
+
+    def test_products_and_probability(self):
+        from canopy_tpu.engine.analysis import RiskAnalysis
+        golden = GOLDEN["aralia_like_substitution"]
+        path = os.path.join(FIXTURES, "aralia_like_substitution.xml")
+        settings = Settings().probability_analysis(True)
+        model = Initializer([path], settings).model
+        report = RiskAnalysis(model, settings).run()
+        res = report.fault_trees[0]
+        assert abs(res.probability - golden["exact_probability"]) < 1e-12
+        assert res.n_products == golden["n_products_after_substitution"]
+        got = sorted(sorted(names) for _o, _q, names in res.products)
+        assert got == golden["products_after_substitution"]
+
+
+class TestGoldenAlignment:
+    """Alignment-bearing anchor: closed-form per-phase probabilities
+    through the batched phase analysis."""
+
+    def test_phase_probabilities(self):
+        from canopy_tpu.engine.analysis import RiskAnalysis
+        golden = GOLDEN["aralia_like_alignment"]
+        path = os.path.join(FIXTURES, "aralia_like_alignment.xml")
+        settings = Settings().probability_analysis(True)
+        model = Initializer([path], settings).model
+        report = RiskAnalysis(model, settings).run()
+        phases = {r.phase: r.probability for r in report.fault_trees
+                  if r.alignment == "duty"}
+        assert set(phases) == set(golden["phases"])
+        for name, want in golden["phases"].items():
+            assert abs(phases[name] - want) < 1e-12

@@ -262,6 +262,188 @@ def freeze_bdd_vs_mc(name: str, tree, golden: dict, extra=None):
           f"gates={tree.n_gates} bdd={n_bdd}{' modular' if modular else ''}")
 
 
+_SUBSTITUTION_XML = """<?xml version="1.0"?>
+<opsa-mef name="aralia_like_substitution">
+  <!-- Hand-computable: top = a(b OR d) OR c.
+       MCS before substitution: {a,b}, {a,d}, {c}.
+       delete-terms on hypothesis (a AND b) removes {a,b}. -->
+  <define-fault-tree name="aralia_like_substitution">
+    <define-gate name="sub-top">
+      <or><gate name="and1"/><gate name="and2"/>
+          <basic-event name="c"/></or>
+    </define-gate>
+    <define-gate name="and1">
+      <and><basic-event name="a"/><basic-event name="b"/></and>
+    </define-gate>
+    <define-gate name="and2">
+      <and><basic-event name="a"/><basic-event name="d"/></and>
+    </define-gate>
+    <define-basic-event name="a"><float value="0.1"/></define-basic-event>
+    <define-basic-event name="b"><float value="0.2"/></define-basic-event>
+    <define-basic-event name="c"><float value="0.05"/></define-basic-event>
+    <define-basic-event name="d"><float value="0.3"/></define-basic-event>
+  </define-fault-tree>
+  <define-substitution name="maintenance-exclusion" type="delete-terms">
+    <hypothesis>
+      <and><basic-event name="a"/><basic-event name="b"/></and>
+    </hypothesis>
+    <target><constant value="false"/></target>
+  </define-substitution>
+</opsa-mef>
+"""
+
+
+def freeze_substitution_golden(golden: dict) -> None:
+    from canopy_tpu.engine.analysis import RiskAnalysis
+    from canopy_tpu.mef import Initializer
+    from canopy_tpu.settings import Settings
+
+    name = "aralia_like_substitution"
+    path = os.path.join(FIXTURES, f"{name}.xml")
+    with open(path, "w") as fh:
+        fh.write(_SUBSTITUTION_XML)
+    # Hand arithmetic: P(top) = 1 - (1 - P(a)(1-(1-P(b))(1-P(d))))(1-P(c))
+    a, b, c, d = 0.1, 0.2, 0.05, 0.3
+    exact = 1.0 - (1.0 - a * (1.0 - (1.0 - b) * (1.0 - d))) * (1.0 - c)
+    products_after = sorted([sorted(["a", "d"]), ["c"]])
+    # Full-stack cross-check at freeze time.
+    settings = Settings().probability_analysis(True)
+    model = Initializer([path], settings).model
+    report = RiskAnalysis(model, settings).run()
+    res = report.fault_trees[0]
+    assert abs(res.probability - exact) < 1e-12, (res.probability, exact)
+    got = sorted(sorted(names) for _o, _q, names in res.products)
+    assert got == products_after, got
+    golden[name] = {
+        "top_event": "sub-top",
+        "exact_probability": exact,
+        "n_products_after_substitution": 2,
+        "products_after_substitution": products_after,
+        "substitution": "delete-terms on (a AND b)",
+        "derivation": "hand-derived: MCS {a,b},{a,d},{c}; delete-terms "
+                      "removes {a,b}; P = 1-(1-a(1-(1-b)(1-d)))(1-c); "
+                      "cross-checked through the full analysis stack",
+        "kind": "substitution",
+    }
+    print(f"{name}: P={exact:.12e}, products after = {products_after}")
+
+
+_ALIGNMENT_XML = """<?xml version="1.0"?>
+<opsa-mef name="aralia_like_alignment">
+  <!-- Hand-computable: top = (p1 AND p2) OR (maint AND valve);
+       exponential basics, mission 1000 h.  Phase "run" (0.6): maint
+       false -> P = (1-e^-la*600)^2.  Phase "service" (0.4): maint true
+       -> P = 1-(1-(1-e^-la*400)^2)(1-(1-e^-lv*400)). -->
+  <define-fault-tree name="aralia_like_alignment">
+    <define-gate name="al-top">
+      <or><gate name="pumps"/><gate name="maint-line"/></or>
+    </define-gate>
+    <define-gate name="pumps">
+      <and><basic-event name="p1"/><basic-event name="p2"/></and>
+    </define-gate>
+    <define-gate name="maint-line">
+      <and><house-event name="maint"/><basic-event name="valve"/></and>
+    </define-gate>
+    <define-basic-event name="p1">
+      <exponential><float value="1.0e-4"/><system-mission-time/>
+      </exponential>
+    </define-basic-event>
+    <define-basic-event name="p2">
+      <exponential><float value="1.0e-4"/><system-mission-time/>
+      </exponential>
+    </define-basic-event>
+    <define-basic-event name="valve">
+      <exponential><float value="1.0e-3"/><system-mission-time/>
+      </exponential>
+    </define-basic-event>
+    <define-house-event name="maint"><constant value="false"/>
+    </define-house-event>
+  </define-fault-tree>
+  <define-alignment name="duty">
+    <define-phase name="run" time-fraction="0.6"/>
+    <define-phase name="service" time-fraction="0.4">
+      <set-house-event name="maint"><constant value="true"/>
+      </set-house-event>
+    </define-phase>
+  </define-alignment>
+</opsa-mef>
+"""
+
+
+def freeze_alignment_golden(golden: dict) -> None:
+    import math
+
+    from canopy_tpu.engine.analysis import RiskAnalysis
+    from canopy_tpu.mef import Initializer
+    from canopy_tpu.settings import Settings
+
+    name = "aralia_like_alignment"
+    path = os.path.join(FIXTURES, f"{name}.xml")
+    with open(path, "w") as fh:
+        fh.write(_ALIGNMENT_XML)
+    mission = 8760.0
+    la, lv = 1.0e-4, 1.0e-3
+    def q(lam, t):
+        return 1.0 - math.exp(-lam * t)
+    m_run, m_srv = mission * 0.6, mission * 0.4
+    p_run = q(la, m_run) ** 2
+    p_srv = 1.0 - (1.0 - q(la, m_srv) ** 2) * (1.0 - q(lv, m_srv))
+    settings = Settings().probability_analysis(True)
+    model = Initializer([path], settings).model
+    report = RiskAnalysis(model, settings).run()
+    phases = {r.phase: r.probability for r in report.fault_trees
+              if r.alignment == "duty"}
+    assert abs(phases["run"] - p_run) < 1e-12, (phases["run"], p_run)
+    assert abs(phases["service"] - p_srv) < 1e-12, (phases["service"],
+                                                    p_srv)
+    golden[name] = {
+        "top_event": "al-top",
+        "mission_time": mission,
+        "phases": {"run": p_run, "service": p_srv},
+        "derivation": "hand-derived closed form per phase (exponential "
+                      "basics at mission*fraction, house event flipped "
+                      "in 'service'); cross-checked through the batched "
+                      "phase analysis",
+        "kind": "alignment",
+    }
+    print(f"{name}: run={p_run:.12e} service={p_srv:.12e}")
+
+
+def freeze_plant_golden(golden: dict) -> None:
+    from canopy_tpu.utils.synthetic import synthetic_hierarchical_tree
+
+    name = "plant_hier_9363"
+    cfg = dict(n_basic=65536, branching=8, share_fraction=0.1,
+               n_shared=128, seed=0)
+    tree = synthetic_hierarchical_tree(**cfg)
+    rng = np.random.default_rng(42)
+    p = jnp.asarray(rng.uniform(1e-4, 5e-3, tree.n_basic))
+    bdd = build_bdd(tree, max_nodes=50_000_000)
+    exact = float(bdd_probability(bdd, p))
+    mc = float(packed_top_probability(tree, jax.random.PRNGKey(0), p,
+                                      MC_TRIALS))
+    stderr = float(np.sqrt(exact * (1 - exact) / MC_TRIALS))
+    assert abs(mc - exact) < max(4 * stderr, 1e-9), (exact, mc)
+    golden[name] = {
+        "kind": "plant_synthetic",
+        "generator": cfg,
+        "probability_recipe": "default_rng(42).uniform(1e-4, 5e-3, "
+                              "n_basic)",
+        "exact_probability": exact,
+        "mc_estimate": mc,
+        "mc_trials": MC_TRIALS,
+        "mc_4sigma": 4 * stderr,
+        "n_gates": tree.n_gates,
+        "nnz": tree.nnz,
+        "bdd_nodes": bdd.n_nodes,
+        "derivation": "array-backed exact BDD vs 1e7-trial bit-packed "
+                      "MC on the 9,363-gate hierarchical plant tree "
+                      "(the stream/adjoint criterion size)",
+    }
+    print(f"{name}: P={exact:.10e} (MC {mc:.4e} +-{stderr:.1e}) "
+          f"gates={tree.n_gates} bdd={bdd.n_nodes}")
+
+
 def main() -> None:
     golden = {}
     configs = [
@@ -330,6 +512,23 @@ def main() -> None:
         "nnz": tree.nnz, "bdd_nodes": bdd.n_nodes,
     }
     print(f"{name}: P={brute:.12e} (BDD {exact:.12e})")
+
+    # Substitution-bearing golden: hand-computable model, hand-derived
+    # product set before/after the delete-terms substitution, exact
+    # probability by closed form — cross-checked through the full
+    # analysis stack at freeze time.
+    freeze_substitution_golden(golden)
+
+    # Alignment-bearing golden: per-phase probabilities by closed form
+    # (exponential basics, a phase-flipped house event) — cross-checked
+    # through the batched phase analysis at freeze time.
+    freeze_alignment_golden(golden)
+
+    # Plant-scale anchor: the 9,363-gate hierarchical tree (the
+    # adjoint/stream criterion size), BDD-exact vs 1e7-trial bit-packed
+    # MC.  Synthetic compiled-only model: the golden records the
+    # generator config instead of an XML file.
+    freeze_plant_golden(golden)
 
     # Hand-computed event-tree plant (tests/fixtures/hand_event_tree.xml
     # is authored by hand; the sequence values below are pencil-and-
