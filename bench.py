@@ -523,6 +523,87 @@ def sec_spill(rng, dtype, roofline, fanin):
           f"max rel err vs gather {rel:.1e})", file=sys.stderr)
 
 
+def sec_replay_adjoint(rng, dtype, roofline, fanin):
+    """Importance backward at spill scale: the replay engine's adjoint
+    (compiler/replay_adjoint.py) vs XLA autodiff through the gather
+    engine on a pool-thrashing uniform tree (the r3 gap: these trees
+    had no kernel-speed importance path)."""
+    import jax
+    import jax.numpy as jnp
+    from canopy_tpu.compiler.replay_adjoint import build_replay_adjoint
+    from canopy_tpu.engine.propagate import top_event_probability
+    from canopy_tpu.ops.replay_adjoint_kernel import \
+        make_differentiable_replay
+    from canopy_tpu.ops.stream_kernel import (replay_grad_basic,
+                                              stage_replay)
+    from canopy_tpu.utils.synthetic import synthetic_compiled_tree
+
+    ra_gates = int(os.environ.get("BENCH_RADJ_GATES", "16384"))
+    ra_trials = 1024
+    tree_ra = synthetic_compiled_tree(n_basic=8192, n_gates=ra_gates,
+                                      fanin=fanin, n_levels=14, seed=0)
+    aprog = build_replay_adjoint(tree_ra, max_ops_per_segment=2048)
+    b = aprog.base
+    house_ra = np.zeros(0, np.float32)
+    f_ra = make_differentiable_replay(aprog, house_ra)
+    basic_ra = jnp.asarray(
+        rng.uniform(0.0, 0.05, (ra_trials, tree_ra.n_basic)), dtype)
+    brs_ra = jax.jit(lambda p: stage_replay(b, p))(basic_ra)
+
+    @jax.jit
+    def rep_s(s, n_iter):
+        def body(i, carry):
+            acc, s = carry
+            s = jax.lax.dynamic_update_index_in_dim(
+                s, s[0] * (1.0 + 1e-9), 0, axis=0)
+            v, g = jax.value_and_grad(lambda x: f_ra(x).sum())(s)
+            return (acc + v + g.sum(), s)
+        acc, _ = jax.lax.fori_loop(0, n_iter, body,
+                                   (jnp.asarray(0.0, dtype), s))
+        return acc
+
+    @jax.jit
+    def rep_g(p, n_iter):
+        def body(i, carry):
+            acc, p = carry
+            p = p.at[:, :1].mul(1.0 + 1e-9)
+            v, g = jax.value_and_grad(lambda y: top_event_probability(
+                tree_ra, y, jnp.asarray(house_ra)).sum())(p)
+            return (acc + v + g.sum(), p)
+        acc, _ = jax.lax.fori_loop(0, n_iter, body,
+                                   (jnp.asarray(0.0, dtype), p))
+        return acc
+
+    ra_iters = int(os.environ.get("BENCH_RADJ_ITERS", "32"))
+    s_dt, ra_iters = measure(
+        lambda n: _best3(rep_s, brs_ra, n), ra_iters,
+        name="replay-adjoint-vjp", work=b.nnz * ra_trials,
+        roofline=roofline)
+    g_dt, g_iters = measure(
+        lambda n: _best3(rep_g, basic_ra, n), max(ra_iters // 4, 8),
+        name="gather-autodiff-on-thrash", work=b.nnz * ra_trials,
+        roofline=roofline)
+    # Gradient agreement on hardware.
+    v_s, g_s = jax.jit(jax.value_and_grad(
+        lambda s: f_ra(s).sum()))(brs_ra)
+    v_g, g_g = jax.jit(jax.value_and_grad(
+        lambda x: top_event_probability(
+            tree_ra, x, jnp.asarray(house_ra)).sum()))(basic_ra)
+    gb = np.asarray(replay_grad_basic(b, g_s, ra_trials))
+    gg = np.asarray(g_g)
+    rel = float(np.max(np.abs(gb - gg))) / max(float(np.max(np.abs(gg))),
+                                               1e-300)
+    _record("replay-adjoint-vjp", b.nnz * ra_trials / s_dt,
+            "nnz*trials/s fwd+bwd", s_dt, ra_iters)
+    _record("gather-autodiff-on-thrash", b.nnz * ra_trials / g_dt,
+            "nnz*trials/s fwd+bwd", g_dt, g_iters)
+    print(f"bench[replay-adjoint {tree_ra.n_gates}g thrash]: fwd+bwd "
+          f"{s_dt*1e3:.3f} ms/iter vs gather autodiff "
+          f"{g_dt*1e3:.2f} ms/iter -> {g_dt/s_dt:.1f}x "
+          f"({b.n_evicted} evictions; max grad err/|g|max {rel:.1e})",
+          file=sys.stderr)
+
+
 def sec_config3(rng, dtype, roofline, fanin):
     """Config-3 scale: the 1M-gate synthetic on one chip
     (BASELINE.md:36).  Index arrays ride as jit ARGUMENTS
@@ -959,6 +1040,9 @@ def main() -> None:
     if want("config3"):
         run_section("config3-1M", sec_config3, rng, dtype, roofline,
                     fanin)
+    if want("replay-adjoint"):
+        run_section("replay-adjoint", sec_replay_adjoint, rng, dtype,
+                    roofline, fanin)
     if want("bdd"):
         run_section("bdd-stream", sec_bdd_stream, rng, dtype, roofline)
     if want("bf16"):
