@@ -1012,7 +1012,7 @@ def main() -> None:
                      for k, v in _sections.items()},
     }), flush=True)
 
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "3300"))
     bench_start = time.perf_counter()
     # BENCH_ONLY="spill,adjoint" runs just those secondary sections —
     # follow-up passes after a timeout need not recompile the rest.
@@ -1040,9 +1040,6 @@ def main() -> None:
     if want("config3"):
         run_section("config3-1M", sec_config3, rng, dtype, roofline,
                     fanin)
-    if want("replay-adjoint"):
-        run_section("replay-adjoint", sec_replay_adjoint, rng, dtype,
-                    roofline, fanin)
     if want("bdd"):
         run_section("bdd-stream", sec_bdd_stream, rng, dtype, roofline)
     if want("bf16"):
@@ -1051,6 +1048,9 @@ def main() -> None:
     if want("mc"):
         run_section("mc-bitpacked", sec_mc, rng, roofline, tree,
                     n_trials, iters, value)
+    if want("replay-adjoint"):
+        run_section("replay-adjoint", sec_replay_adjoint, rng, dtype,
+                    roofline, fanin)
     if want("block-gather"):
         run_section("block-gather", sec_block_gather, rng, dtype,
                     roofline)
