@@ -125,20 +125,54 @@ def _best3(fn, *args):
     return best
 
 
-def run_section(name, fn, *args, **kwargs):
-    """Run one section; isolate failures and free device state after."""
-    import jax
+def run_section(name, timeout_s=1800.0):
+    """Run one section in an isolated SUBPROCESS (default).
+
+    The rehearsal for BENCH_r04 showed that a single RESOURCE_EXHAUSTED
+    poisons the tunneled TPU backend for the rest of the process —
+    ``jax.clear_caches()`` + gc cannot recover it (every later section
+    fails instantly).  A child process per section gives each section a
+    fresh backend; its results ride back on a ``section-result:`` JSON
+    line.  ``BENCH_SUBPROC=0`` runs in-process (CPU smoke tests).
+    """
+    if os.environ.get("BENCH_SUBPROC", "1") != "1":
+        import jax
+        try:
+            SECTION_RUNNERS[name]()
+        except Exception as exc:
+            _failed[name] = f"{type(exc).__name__}: {exc}"
+            print(f"bench[{name}] skipped: {exc}", file=sys.stderr)
+        finally:
+            jax.clear_caches()
+            gc.collect()
+        return
+    import subprocess
+    env = dict(os.environ)
+    env["BENCH_GATHER_VALUE"] = repr(
+        _sections.get("gather", {}).get("value", 0.0))
+    env["BENCH_BEST_VALUE"] = repr(max(
+        (_sections.get(k, {}).get("value", 0.0)
+         for k in ("gather", "fused-vmem", "fused-tiled")), default=0.0))
     try:
-        fn(*args, **kwargs)
-    except Exception as exc:
-        _failed[name] = f"{type(exc).__name__}: {exc}"
-        print(f"bench[{name}] skipped: {exc}", file=sys.stderr)
-    finally:
-        # Drop compiled executables (their baked-in constants hold
-        # device buffers) and collect freed arrays so one section's
-        # working set can never starve the next.
-        jax.clear_caches()
-        gc.collect()
+        proc = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__),
+             "--section", name],
+            stdout=subprocess.PIPE, stderr=None, env=env,
+            timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        _failed[name] = f"section timed out after {timeout_s:.0f}s"
+        print(f"bench[{name}] skipped: timeout", file=sys.stderr)
+        return
+    got = None
+    for line in proc.stdout.decode(errors="replace").splitlines():
+        if line.startswith("section-result: "):
+            got = json.loads(line[len("section-result: "):])
+    if got:
+        _sections.update(got)
+    if proc.returncode != 0 or not got:
+        _failed[name] = (f"exit {proc.returncode}"
+                         if proc.returncode else "no result line")
+        print(f"bench[{name}] failed: {_failed[name]}", file=sys.stderr)
 
 
 # ---------------------------------------------------------------------------
@@ -422,6 +456,18 @@ def sec_replay(rng, dtype, roofline, fanin):
                                    (jnp.asarray(0.0, dtype), b))
         return acc
 
+    # Correctness on hardware FIRST (jitted: eager level evaluation of
+    # the 65k gather reference materializes per-level (G, F, T) gather
+    # intermediates and OOMs next to the timing executables), then the
+    # check arrays are dropped before the timing loop compiles.
+    check = np.asarray(jax.jit(lambda b: replay_propagate_staged(
+        program_rp, b, house_rp))(brs))
+    ref = np.asarray(jax.jit(lambda p: top_event_probability(
+        tree_rp, p, jnp.asarray(house_rp)))(basic_rp), np.float32)
+    rel = float(np.max(np.abs(check - ref) / np.maximum(ref, 1e-30)))
+    del check, ref
+    jax.clear_caches()
+
     rp_iters = int(os.environ.get("BENCH_REPLAY_ITERS", "256"))
     rp_dt, rp_iters = measure(
         lambda n: _best3(repeat_replay, brs, n), rp_iters,
@@ -429,11 +475,6 @@ def sec_replay(rng, dtype, roofline, fanin):
         roofline=roofline)
     rp_value = program_rp.nnz * rp_trials / rp_dt
     _record("replay-uniform", rp_value, "nnz*trials/s", rp_dt, rp_iters)
-    # Correctness on hardware: one batch vs the gather engine.
-    check = np.asarray(replay_propagate_staged(program_rp, brs, house_rp))
-    ref = np.asarray(top_event_probability(
-        tree_rp, basic_rp, jnp.asarray(house_rp)), np.float32)
-    rel = float(np.max(np.abs(check - ref) / np.maximum(ref, 1e-30)))
     # Coalesced-stream DMA accounting per trial-tile: brs reads, grs
     # gather (read+write+stream read), eviction flushes, boundary
     # dump/loads, plus single-tile intra refills.
@@ -504,11 +545,12 @@ def sec_spill(rng, dtype, roofline, fanin):
               if op[0] in ("dstart", "lstart")))
     sp_bytes = tiles_moved * 4096 * (sp_trials // 1024)
     # Correctness on hardware: one batch vs the gather engine (same
-    # tree, same house vector).
-    check = np.asarray(spill_propagate_staged(
-        program_sp, staged_sp, house_sp))
-    ref = np.asarray(top_event_probability(
-        tree_sp, basic_sp, jnp.asarray(house_sp)), np.float32)
+    # tree, same house vector; jitted to keep level intermediates
+    # fused).
+    check = np.asarray(jax.jit(lambda s: spill_propagate_staged(
+        program_sp, s, house_sp))(staged_sp))
+    ref = np.asarray(jax.jit(lambda p: top_event_probability(
+        tree_sp, p, jnp.asarray(house_sp)))(basic_sp), np.float32)
     rel = float(np.max(np.abs(check - ref) / np.maximum(ref, 1e-30)))
     hbm = _hbm_bandwidth_bytes()
     print(f"bench[spill {tree_sp.n_gates}g uniform]: "
@@ -950,37 +992,99 @@ def sec_bsr(rng, dtype, roofline, n_trials, iters):
 # ---------------------------------------------------------------------------
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
-    from canopy_tpu.utils.synthetic import synthetic_compiled_tree
-
+def _base_params():
     n_trials = int(os.environ.get("BENCH_TRIALS", "2048"))
     n_gates = int(os.environ.get("BENCH_GATES", "400000"))
     fanin = int(os.environ.get("BENCH_FANIN", "4"))
-    dtype = jnp.float32
     iters = int(os.environ.get("BENCH_ITERS", "16"))
+    roofline = _hbm_bandwidth_bytes() / (4.0 + 8.0 / fanin)
+    return n_trials, n_gates, fanin, iters, roofline
 
-    tree = synthetic_compiled_tree(n_basic=8192, n_gates=n_gates,
+
+def _big_tree(n_gates, fanin):
+    from canopy_tpu.utils.synthetic import synthetic_compiled_tree
+    return synthetic_compiled_tree(n_basic=8192, n_gates=n_gates,
                                    fanin=fanin, n_levels=14, seed=0)
-    print(f"bench: {tree.n_gates} gates, nnz={tree.nnz}, "
-          f"depth={tree.depth}, trials={n_trials}, "
-          f"dtype={dtype.__name__}, backend={jax.default_backend()}",
-          file=sys.stderr)
-    rng = np.random.default_rng(0)
 
-    # Roofline: per (nnz x trial) the gather reads 4 bytes and the gate
-    # write amortizes to 4/fanin bytes; value-vector streaming re-reads
-    # add ~4/fanin more. ~ (4 + 8/fanin) bytes per element.
-    bytes_per_element = 4.0 + 8.0 / fanin
-    roofline = _hbm_bandwidth_bytes() / bytes_per_element
+
+def _runner(name):
+    """Build the section's inputs and run it (fresh rng per section, so
+    in-process and subprocess modes draw identical inputs)."""
+    import jax.numpy as jnp
+    n_trials, n_gates, fanin, iters, roofline = _base_params()
+    rng = np.random.default_rng(0)
+    dtype = jnp.float32
+    if name == "fused-tiled":
+        sec_fused_tiled(rng, dtype, roofline)
+    elif name == "fused-vmem":
+        sec_fused_vmem(rng, dtype, roofline, fanin)
+    elif name == "gather":
+        sec_gather(rng, dtype, roofline, _big_tree(n_gates, fanin),
+                   n_trials, iters)
+    elif name == "replay":
+        sec_replay(rng, dtype, roofline, fanin)
+    elif name == "adjoint":
+        sec_adjoint(rng, dtype, roofline)
+    elif name == "stream":
+        sec_stream(rng, dtype, roofline)
+    elif name == "spill":
+        sec_spill(rng, dtype, roofline, fanin)
+    elif name == "config3-1M":
+        sec_config3(rng, dtype, roofline, fanin)
+    elif name == "bdd-stream":
+        sec_bdd_stream(rng, dtype, roofline)
+    elif name == "gather-bf16":
+        gv = float(os.environ.get("BENCH_GATHER_VALUE", "0") or 0)
+        sec_bf16(rng, roofline, _big_tree(n_gates, fanin), n_trials,
+                 iters, gv)
+    elif name == "mc-bitpacked":
+        bv = float(os.environ.get("BENCH_BEST_VALUE", "0") or 0)
+        sec_mc(rng, roofline, _big_tree(n_gates, fanin), n_trials,
+               iters, bv)
+    elif name == "replay-adjoint":
+        sec_replay_adjoint(rng, dtype, roofline, fanin)
+    elif name == "block-gather":
+        sec_block_gather(rng, dtype, roofline)
+    elif name == "bsr":
+        sec_bsr(rng, dtype, roofline, n_trials, iters)
+    else:
+        raise ValueError(f"unknown section {name!r}")
+
+
+SECTION_RUNNERS = {
+    name: (lambda n=name: _runner(n))
+    for name in ("fused-tiled", "fused-vmem", "gather", "replay",
+                 "adjoint", "stream", "spill", "config3-1M",
+                 "bdd-stream", "gather-bf16", "mc-bitpacked",
+                 "replay-adjoint", "block-gather", "bsr")
+}
+
+
+def _child_main(name) -> int:
+    try:
+        SECTION_RUNNERS[name]()
+    except Exception as exc:
+        print(f"bench[{name}] skipped: {exc}", file=sys.stderr)
+        print("section-result: " + json.dumps(_sections), flush=True)
+        return 1
+    print("section-result: " + json.dumps(_sections), flush=True)
+    return 0
+
+
+def main() -> None:
+    import jax
+
+    n_trials, n_gates, fanin, iters, roofline = _base_params()
+    print(f"bench: {n_gates} gates (cfg), trials={n_trials}, "
+          f"backend={jax.default_backend()}, "
+          f"subproc={os.environ.get('BENCH_SUBPROC', '1')}",
+          file=sys.stderr)
 
     # Production-model scale FIRST (fast compile -> the contract line is
     # never starved), then the 400k-gate gather headline.
-    run_section("fused-tiled", sec_fused_tiled, rng, dtype, roofline)
-    run_section("fused-vmem", sec_fused_vmem, rng, dtype, roofline, fanin)
-    run_section("gather", sec_gather, rng, dtype, roofline, tree,
-                n_trials, iters)
+    run_section("fused-tiled", timeout_s=900)
+    run_section("fused-vmem", timeout_s=900)
+    run_section("gather", timeout_s=1500)
 
     tiled_value = _sections.get("fused-tiled", {}).get("value", 0.0)
     fused_value = _sections.get("fused-vmem", {}).get("value", 0.0)
@@ -1029,34 +1133,19 @@ def main() -> None:
             return False
         return True
 
-    if want("replay"):
-        run_section("replay", sec_replay, rng, dtype, roofline, fanin)
-    if want("adjoint"):
-        run_section("adjoint", sec_adjoint, rng, dtype, roofline)
-    if want("stream"):
-        run_section("stream", sec_stream, rng, dtype, roofline)
-    if want("spill"):
-        run_section("spill", sec_spill, rng, dtype, roofline, fanin)
-    if want("config3"):
-        run_section("config3-1M", sec_config3, rng, dtype, roofline,
-                    fanin)
-    if want("bdd"):
-        run_section("bdd-stream", sec_bdd_stream, rng, dtype, roofline)
-    if want("bf16"):
-        run_section("gather-bf16", sec_bf16, rng, roofline, tree,
-                    n_trials, iters, gather_value)
-    if want("mc"):
-        run_section("mc-bitpacked", sec_mc, rng, roofline, tree,
-                    n_trials, iters, value)
-    if want("replay-adjoint"):
-        run_section("replay-adjoint", sec_replay_adjoint, rng, dtype,
-                    roofline, fanin)
-    if want("block-gather"):
-        run_section("block-gather", sec_block_gather, rng, dtype,
-                    roofline)
-    if want("bsr"):
-        run_section("bsr", sec_bsr, rng, dtype, roofline, n_trials,
-                    iters)
+    # Secondary order: criterion measurements, then the r3-lost
+    # recaptures, then the new replay-adjoint, then tertiary engines.
+    for name, alias in (("replay", "replay"), ("adjoint", "adjoint"),
+                        ("stream", "stream"), ("spill", "spill"),
+                        ("config3-1M", "config3"),
+                        ("bdd-stream", "bdd"),
+                        ("gather-bf16", "bf16"),
+                        ("mc-bitpacked", "mc"),
+                        ("replay-adjoint", "replay-adjoint"),
+                        ("block-gather", "block-gather"),
+                        ("bsr", "bsr")):
+        if want(alias):
+            run_section(name)
 
     # Machine-parseable record of EVERY section (regression guard —
     # compare against the bench-sections line in the previous round's
@@ -1068,4 +1157,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        sys.exit(_child_main(sys.argv[2]))
     main()
