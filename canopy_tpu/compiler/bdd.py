@@ -375,7 +375,10 @@ def build_bdd_multi(tree: CompiledTree, root_slots: list[int],
 def _arg_bdd(forest: BddForest, arg, tree: CompiledTree,
              node_bdd: dict[int, int]) -> int:
     event = arg.event
-    if isinstance(event, BasicEvent) and event.has_ccf:
+    # The CCF proxy applies only when the tree was compiled with CCF
+    # expansion (ccf_analysis off keeps the original basic events).
+    if isinstance(event, BasicEvent) and event.has_ccf \
+            and event.ccf_gate.id in tree.gate_index:
         slot = tree.gate_index[event.ccf_gate.id]
     elif isinstance(event, Gate):
         slot = tree.gate_index[event.id]

@@ -103,7 +103,8 @@ class CutSetGenerator:
 
     def _literal(self, event: BasicEvent, neg: bool) -> list[Product] | None:
         """Products for a single basic-event literal; None for constants."""
-        if event.has_ccf:
+        if event.has_ccf and \
+                event.ccf_gate.id in self.tree.gate_index:
             return self._expand_gate(event.ccf_gate, neg)
         slot = self.tree.basic_index.get(event.id)
         if slot is None:

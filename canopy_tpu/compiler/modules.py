@@ -41,7 +41,8 @@ def _gate_args(tree: CompiledTree, gate: Gate):
     out = []
     for arg in gate.formula.args:
         event = arg.event
-        if isinstance(event, BasicEvent) and event.has_ccf:
+        if isinstance(event, BasicEvent) and event.has_ccf \
+                and event.ccf_gate.id in tree.gate_index:
             slot = tree.gate_index[event.ccf_gate.id]
         elif isinstance(event, Gate):
             slot = tree.gate_index[event.id]

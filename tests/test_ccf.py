@@ -181,3 +181,26 @@ class TestExpansion:
         tree = compile_fault_tree(model.fault_trees.get("FT"), use_ccf=False)
         assert tree.n_gates == 1
         assert tree.n_basic == 2
+
+
+class TestCcfAnalysisToggle:
+    def test_model_with_ccf_groups_analyzed_without_ccf_setting(self):
+        """A CCF-bearing model must analyze cleanly with ccf_analysis
+        OFF (the proxy gates are simply not expanded); previously the
+        BDD/modules/cutsets paths dereferenced the absent proxy gate
+        (KeyError)."""
+        import os
+        from canopy_tpu.engine.analysis import RiskAnalysis
+        from canopy_tpu.mef import Initializer
+        from canopy_tpu.settings import Settings
+        fx = os.path.join(os.path.dirname(__file__), "fixtures",
+                          "aralia_like_ccf.xml")
+        off = Settings().probability_analysis(True)
+        r_off = RiskAnalysis(Initializer([fx], off).model, off).run()
+        on = Settings().probability_analysis(True).ccf_analysis(True)
+        r_on = RiskAnalysis(Initializer([fx], on).model, on).run()
+        p_off = r_off.fault_trees[0].probability
+        p_on = r_on.fault_trees[0].probability
+        assert p_off is not None and p_on is not None
+        # CCF coupling changes the result; both paths must be finite.
+        assert p_off != p_on
