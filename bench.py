@@ -212,11 +212,13 @@ def sec_fused_tiled(rng, dtype, roofline):
                                    (jnp.asarray(0.0, dtype), s))
         return acc
 
-    t_iters = int(os.environ.get("BENCH_TILED_ITERS", "512"))
+    t_iters = int(os.environ.get("BENCH_TILED_ITERS", "2048"))
+    # VMEM-resident VPU kernel: legitimately tens of x the HBM roofline
+    # (sub-30 us/iter; run-to-run tunnel jitter needs the wide span).
     dt, t_iters = measure(
         lambda n: _best3(repeat_tiled, staged_t, n), t_iters,
         name="fused-tiled", work=tree_t.nnz * tiled_trials,
-        roofline=roofline)
+        roofline=roofline, cap=150.0)
     value = tree_t.nnz * tiled_trials / dt
     _record("fused-tiled", value, "nnz*trials/s", dt, t_iters)
     print(f"bench[fused-tiled {tiled_gates}g]: {dt*1e3:.3f} ms/iter, "
