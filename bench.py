@@ -882,11 +882,18 @@ def sec_block_gather(rng, dtype, roofline):
     _record("gather-on-bg-tree", tree_bg.nnz * bg_trials / g_dt,
             "nnz*trials/s", g_dt, g_used)
     # The engine auto-dispatch actually picks here: the plain stream
-    # schedule (the tree's live set is tiny once reordered).
+    # schedule (the tree's live set is tiny once reordered).  The
+    # block engine's auto_t_tile (384) is off the stream kernel's
+    # 1024-trial grid, so the stream row runs at its own T — the
+    # comparison is rate-based (nnz*trials/s).
     s_dt = None
-    if bg_trials % 1024 == 0:
+    if True:
+        s_trials_bg = 1024
+        basic_sbg = jnp.asarray(
+            rng.uniform(0.0, 0.05, (s_trials_bg, tree_bg.n_basic)),
+            dtype)
         program_s = compile_stream(tree_bg)
-        staged_bg = jax.jit(lambda p: stage_basic(program_s, p))(basic_bg)
+        staged_bg = jax.jit(lambda p: stage_basic(program_s, p))(basic_sbg)
         house_bg = np.zeros(0, np.float32)
 
         @jax.jit
@@ -903,10 +910,17 @@ def sec_block_gather(rng, dtype, roofline):
 
         s_dt, s_used = measure(
             lambda n: _best3(repeat_stream_bg, staged_bg, n), bg_iters,
-            name="stream-on-bg-tree", work=program_s.nnz * bg_trials,
+            name="stream-on-bg-tree", work=program_s.nnz * s_trials_bg,
             roofline=roofline)
-        _record("stream-on-bg-tree", program_s.nnz * bg_trials / s_dt,
+        _record("stream-on-bg-tree", program_s.nnz * s_trials_bg / s_dt,
                 "nnz*trials/s", s_dt, s_used)
+        print(f"bench[stream-on-bg-tree]: {s_dt*1e3:.3f} ms/iter at "
+              f"T={s_trials_bg}, "
+              f"{program_s.nnz * s_trials_bg / s_dt / 1e9:.2f} "
+              f"Gnnz*trials/s (vs block-log "
+              f"{tree_bg.nnz * bg_trials / results['log'] / 1e9:.2f}, "
+              f"gather {tree_bg.nnz * bg_trials / g_dt / 1e9:.2f})",
+              file=sys.stderr)
     # Exactness of the direct mode on hardware.
     got = np.asarray(block_gather_propagate(program_bg, basic_bg,
                                             t_tile=bg_t, mode="direct"))
