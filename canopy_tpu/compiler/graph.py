@@ -433,3 +433,99 @@ def compile_fault_tree(fault_tree, top: Gate | None = None,
     compiled = compile_gates([top], use_ccf=use_ccf)
     compiled.top_index = compiled.gate_index[top.id]
     return compiled
+
+
+def prune_to_top_cone(tree: CompiledTree) -> CompiledTree:
+    """A new CompiledTree containing only the top event's ancestor cone.
+
+    Basic/house slots are untouched; gates outside the cone are dropped
+    and the rest re-numbered in (level, block, row) order, which keeps
+    every block's output range contiguous (the engines'
+    dynamic-update-slice invariant) and args-before-gates topology.
+    Top-only queries on large models skip the dead gates entirely —
+    measured on the config-3 1M-gate synthetic the cone is 48k of 1M
+    gates (docs/BENCHMARKS.md).  Per-gate argument lists are unchanged,
+    so the top value is bit-identical to the full-tree evaluation.
+    """
+    if tree.top_index is None:
+        raise LogicError("prune_to_top_cone needs an anchored top event")
+    base = tree.n_basic + tree.n_house
+
+    # Reverse reachability from the top over the block rows.
+    args_of: dict[int, list[int]] = {}
+    for level in tree.levels:
+        for _kind, b in level.iter_blocks():
+            mask = getattr(b, "arg_mask", None)
+            for i in range(b.n_gates):
+                out = int(b.out_idx[i])
+                row = b.arg_idx[i]
+                if mask is None:
+                    args_of[out] = [int(s) for s in row]
+                else:
+                    args_of[out] = [int(s) for s, m in zip(row, mask[i])
+                                    if m]
+    cone: set[int] = set()
+    stack = [tree.top_index]
+    while stack:
+        s = stack.pop()
+        if s < base or s in cone:
+            continue
+        cone.add(s)
+        stack.extend(args_of.get(s, ()))
+    if len(cone) == tree.n_gates:
+        return tree
+
+    # New slots in traversal order (keeps blocks' outputs contiguous).
+    new_slot: dict[int, int] = {}
+    for level in tree.levels:
+        for _kind, b in level.iter_blocks():
+            for i in range(b.n_gates):
+                out = int(b.out_idx[i])
+                if out in cone:
+                    new_slot[out] = base + len(new_slot)
+
+    def remap(idx: np.ndarray) -> np.ndarray:
+        out = idx.copy()
+        flat = out.reshape(-1)
+        for j, s in enumerate(flat):
+            if s >= base:
+                flat[j] = new_slot[int(s)]
+        return out
+
+    new_levels = []
+    for level in tree.levels:
+        prods, pairs, counts = [], [], []
+        for kind, b in level.iter_blocks():
+            keep = np.array([int(o) in cone for o in b.out_idx])
+            if not keep.any():
+                continue
+            out_idx = np.array([new_slot[int(o)]
+                                for o in b.out_idx[keep]], dtype=np.int32)
+            if kind == "prod":
+                prods.append(ProdBlock(
+                    out_idx, remap(b.arg_idx[keep]), b.arg_flip[keep],
+                    b.arg_mask[keep], b.inv_out[keep]))
+            elif kind == "pair":
+                pairs.append(PairBlock(
+                    out_idx, remap(b.arg_idx[keep]), b.arg_neg[keep],
+                    b.is_iff[keep]))
+            else:
+                counts.append(CountBlock(
+                    out_idx, remap(b.arg_idx[keep]), b.arg_neg[keep],
+                    b.arg_mask[keep], b.min_num[keep], b.max_num[keep],
+                    b.cap))
+        if prods or pairs or counts:
+            new_levels.append(LevelBlock(prods, pairs, counts))
+
+    slot_to_gate = {tree.gate_index[g.id]: g for g in tree.gates}
+    new_gates = [slot_to_gate[s]
+                 for s in sorted(cone, key=new_slot.__getitem__)
+                 if s in slot_to_gate]
+    new_gate_index = {gid: new_slot[s]
+                      for gid, s in tree.gate_index.items() if s in cone}
+    return CompiledTree(
+        n_basic=tree.n_basic, n_house=tree.n_house, n_gates=len(cone),
+        basic_index=tree.basic_index, house_index=tree.house_index,
+        gate_index=new_gate_index, levels=new_levels,
+        basic_events=tree.basic_events, house_events=tree.house_events,
+        gates=new_gates, top_index=new_slot[tree.top_index])

@@ -423,9 +423,18 @@ def make_propagator(tree: CompiledTree, output: str = "top",
         return jax.jit(fn)
     baked = _build_house(tree, house_states)
     if output == "top":
+        # Top-only gather queries skip gates outside the top cone —
+        # bit-identical (per-gate argument lists unchanged) and up to
+        # ~5x fewer level rows on big models (compiler/graph.py
+        # prune_to_top_cone).
+        eval_tree = tree
+        if tree.top_index is not None:
+            from ..compiler.graph import prune_to_top_cone
+            eval_tree = prune_to_top_cone(tree)
+
         def fn(basic_p, house_states=None):
             h = jnp.asarray(baked) if house_states is None else house_states
-            return top_event_probability(tree, basic_p, h)
+            return top_event_probability(eval_tree, basic_p, h)
     else:
         def fn(basic_p, house_states=None):
             h = jnp.asarray(baked) if house_states is None else house_states

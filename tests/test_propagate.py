@@ -301,3 +301,39 @@ class TestParamPropagator:
         want = top_event_probability(tree, basic, house)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=0, atol=0)
+
+
+class TestTopConePruning:
+    def test_prune_is_bit_exact_and_smaller(self):
+        from canopy_tpu.compiler.graph import prune_to_top_cone
+        from canopy_tpu.utils.synthetic import synthetic_compiled_tree
+        tree = synthetic_compiled_tree(n_basic=96, n_gates=900, fanin=4,
+                                       n_levels=8, seed=0)
+        pruned = prune_to_top_cone(tree)
+        assert pruned.n_gates < tree.n_gates
+        assert pruned.n_basic == tree.n_basic
+        # Contiguity invariant: every block's outputs stay consecutive.
+        for level in pruned.levels:
+            for _k, b in level.iter_blocks():
+                d = np.diff(np.asarray(b.out_idx))
+                assert (d == 1).all() or len(d) == 0
+        rng = np.random.default_rng(3)
+        p = jnp.asarray(rng.uniform(0.0, 0.5, (128, tree.n_basic)),
+                        jnp.float32)
+        a = np.asarray(top_event_probability(tree, p))
+        b = np.asarray(top_event_probability(pruned, p))
+        assert np.array_equal(a, b)
+
+    def test_make_propagator_gather_top_uses_cone(self):
+        from canopy_tpu.engine.propagate import make_propagator
+        from canopy_tpu.utils.synthetic import synthetic_compiled_tree
+        tree = synthetic_compiled_tree(n_basic=96, n_gates=900, fanin=4,
+                                       n_levels=8, seed=1)
+        fn = make_propagator(tree, engine="gather", output="top")
+        rng = np.random.default_rng(4)
+        p = jnp.asarray(rng.uniform(0.0, 0.5, (64, tree.n_basic)),
+                        jnp.float32)
+        got = np.asarray(fn(p))
+        want = np.asarray(top_event_probability(
+            tree, p, jnp.asarray(tree.house_state_vector())))
+        assert np.array_equal(got, want)
