@@ -257,6 +257,7 @@ def make_propagator(tree: CompiledTree, output: str = "top",
     if engine == "auto" and output == "top" \
             and jax.default_backend() == "tpu":
         from ..errors import LogicError
+        from ..compiler.graph import prune_to_top_cone
         from ..ops.pallas_kernels import (fused_propagate,
                                           fused_propagate_tiled,
                                           fused_supported,
@@ -299,6 +300,11 @@ def make_propagator(tree: CompiledTree, output: str = "top",
             engine = "gather"
         else:
             house = _build_house(tree, house_states)
+            # Off-grid / oversized batches fall back to the gather
+            # engine; top-only queries evaluate the pruned cone
+            # (bit-identical, compiler/graph.prune_to_top_cone).
+            cone_tree = prune_to_top_cone(tree) \
+                if tree.top_index is not None else tree
 
             def fn(basic_p, house_states=None):
                 if house_states is not None:
@@ -326,7 +332,7 @@ def make_propagator(tree: CompiledTree, output: str = "top",
                     return spill_propagate(spill_program, basic_p, house)
                 if fused_ok:
                     return fused_propagate(tree, basic_p, house)
-                return top_event_probability(tree, basic_p,
+                return top_event_probability(cone_tree, basic_p,
                                              jnp.asarray(house))
             return jax.jit(fn)
     if engine == "stream":
