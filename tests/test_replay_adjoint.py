@@ -220,3 +220,48 @@ class TestImportanceDispatch:
         np.testing.assert_allclose(got.raw, want.raw, rtol=1e-4)
         assert got.top_probability == pytest.approx(
             want.top_probability, rel=1e-5)
+
+
+class TestRandomizedDifferential:
+    def test_random_schedule_configs_match_reference(self):
+        """Differential stress: random (pool, segment, ring, slab)
+        configurations against the direct reference backward — the
+        scheduler's corner cases (buffer reuse, sparse injection
+        chunks, boundary flushes) surface here if anywhere."""
+        from canopy_tpu.errors import LogicError
+        rng = np.random.default_rng(7)
+        n_ok = 0
+        for _trial in range(10):
+            seed = int(rng.integers(0, 1000))
+            tree = synthetic_compiled_tree(
+                n_basic=96, n_gates=int(rng.choice([300, 900])),
+                fanin=4, n_levels=int(rng.choice([6, 10])), seed=seed)
+            cfg = dict(
+                tct=int(rng.choice([8, 16])),
+                tape_bufs=int(rng.choice([2, 3])),
+                tape_slab=int(rng.choice([4, 8])),
+                gcot_bufs=2, icot_bufs=2,
+                inj_chunk=int(rng.choice([2, 4])), inj_bufs=2,
+                side_cap=64,
+                brs_chunk=int(rng.choice([8, 16])), brs_bufs=3,
+                grs_chunk=8, grs_bufs=2,
+                slab_bufs=int(rng.choice([2, 4])),
+                slab_tiles=int(rng.choice([2, 4])),
+                max_ops_per_segment=int(rng.choice([40, 250, 5000])),
+                pool_slots=int(rng.choice([7, 14])),
+                hoist_events=int(rng.choice([0, 16])),
+                n_refill_sems=4, n_flush_sems=2)
+            try:
+                aprog = build_replay_adjoint(tree, **cfg)
+            except LogicError:
+                continue
+            bp = np.random.default_rng(seed).uniform(0.05, 0.6,
+                                                     tree.n_basic)
+            house = np.zeros(0, np.float32)
+            top, grad = simulate_replay_adjoint(aprog, bp, house)
+            rtop, rgrad = reference_adjoint(tree, bp, house)
+            assert top == rtop
+            denom = np.maximum(np.abs(rgrad), 1e-300)
+            assert float(np.max(np.abs(grad - rgrad) / denom)) < 1e-9
+            n_ok += 1
+        assert n_ok >= 5          # the draw must exercise real configs
