@@ -45,7 +45,7 @@ from ..compiler.graph import CompiledTree, CountBlock, LevelBlock, PairBlock, Pr
 
 __all__ = ["propagate_probability", "top_event_probability",
            "propagate_node_major", "make_propagator",
-           "make_param_propagator"]
+           "make_staged_propagator", "make_param_propagator"]
 
 
 def _compute_dtype(vals: jnp.ndarray):
@@ -446,6 +446,61 @@ def make_propagator(tree: CompiledTree, output: str = "top",
             h = jnp.asarray(baked) if house_states is None else house_states
             return propagate_probability(tree, basic_p, h)
     return jax.jit(fn)
+
+
+def make_staged_propagator(tree: CompiledTree,
+                           house_states: np.ndarray | None = None):
+    """An amortizing ``(stage, run)`` pair for hot loops.
+
+    ``staged = stage(basic_p)`` pays the input layout transform once
+    (the staging gather costs as much as one gather-engine pass —
+    measured 42.9 ms vs the replay kernel's 3.2 ms on the 400k tree);
+    ``run(staged)`` then executes the selected kernel per call.  Engine
+    choice mirrors ``make_propagator(engine="auto", output="top")``:
+    stream when a plain schedule exists, replay when the pool rejects
+    the tree, else the identity stage over the gather engine (pruned to
+    the top cone), so callers amortize whichever transform the dispatch
+    needs.  TPU kernels require ``n_trials % 1024 == 0``.
+    """
+    from ..errors import LogicError
+    from ..ops.stream_kernel import (compile_replay_stream, compile_stream,
+                                     replay_propagate_staged, stage_basic,
+                                     stage_replay,
+                                     stream_propagate_staged)
+
+    house = _build_house(tree, house_states)
+    if jax.default_backend() == "tpu" and tree.top_index is not None:
+        try:
+            program = compile_stream(tree)
+
+            def stage(basic_p):
+                return stage_basic(program, basic_p)
+
+            def run(staged):
+                return stream_propagate_staged(program, staged, house)
+            return jax.jit(stage), jax.jit(run)
+        except LogicError:
+            pass
+        if tree.nnz <= 2_000_000:
+            try:
+                rprogram = compile_replay_stream(tree)
+
+                def stage(basic_p):
+                    return stage_replay(rprogram, basic_p)
+
+                def run(staged):
+                    return replay_propagate_staged(rprogram, staged,
+                                                   house)
+                return jax.jit(stage), jax.jit(run)
+            except LogicError:
+                pass
+    # Gather fallback: no layout transform to amortize.
+    from ..compiler.graph import prune_to_top_cone
+    cone = prune_to_top_cone(tree) if tree.top_index is not None else tree
+
+    def run_gather(basic_p):
+        return top_event_probability(cone, basic_p, jnp.asarray(house))
+    return jax.jit(lambda p: p), jax.jit(run_gather)
 
 
 def make_param_propagator(tree: CompiledTree):

@@ -337,3 +337,23 @@ class TestTopConePruning:
         want = np.asarray(top_event_probability(
             tree, p, jnp.asarray(tree.house_state_vector())))
         assert np.array_equal(got, want)
+
+
+class TestStagedPropagator:
+    def test_gather_fallback_identity_stage(self):
+        # On CPU the kernel engines are unavailable: the pair must be
+        # (identity, pruned-cone gather) and match the full evaluation.
+        from canopy_tpu.engine.propagate import make_staged_propagator
+        from canopy_tpu.utils.synthetic import synthetic_compiled_tree
+        tree = synthetic_compiled_tree(n_basic=96, n_gates=600, fanin=4,
+                                       n_levels=8, seed=2)
+        stage, run = make_staged_propagator(tree)
+        rng = np.random.default_rng(8)
+        p = jnp.asarray(rng.uniform(0.0, 0.5, (32, tree.n_basic)),
+                        jnp.float32)
+        got = np.asarray(run(stage(p)))
+        want = np.asarray(top_event_probability(
+            tree, p, jnp.asarray(tree.house_state_vector())))
+        # jit may FMA-contract the prod chains differently from the
+        # eager reference: last-ulp tolerance.
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-7)
