@@ -231,3 +231,33 @@ class TestReplayDispatch:
             compile_stream(tree)        # live set too wide
         program = compile_replay_stream(tree)
         assert program.n_evicted > 0    # genuinely pool-bound
+
+
+class TestRandomizedForwardDifferential:
+    def test_random_schedule_configs_bit_exact(self):
+        """Differential stress for the forward scheduler: random
+        (pool, segment, ring, slab) configurations vs the gather
+        engine, bit-exact through the hazard-checking simulator."""
+        rng = np.random.default_rng(11)
+        n_ok = 0
+        for _trial in range(10):
+            seed = int(rng.integers(0, 1000))
+            tree = synthetic_compiled_tree(
+                n_basic=96, n_gates=int(rng.choice([300, 900])),
+                fanin=4, n_levels=int(rng.choice([6, 10])), seed=seed)
+            cfg = dict(
+                brs_chunk=int(rng.choice([8, 16, 32])), brs_bufs=3,
+                grs_chunk=int(rng.choice([8, 16])), grs_bufs=2,
+                slab_bufs=int(rng.choice([2, 3, 4])),
+                slab_tiles=int(rng.choice([2, 4, 8])),
+                max_ops_per_segment=int(rng.choice([40, 150, 5000])),
+                pool_slots=int(rng.choice([7, 12, 24])),
+                hoist_events=int(rng.choice([0, 8])),
+                n_refill_sems=4, n_flush_sems=2)
+            try:
+                program = build_replay_schedule(tree, **cfg)
+            except LogicError:
+                continue
+            _simulate_vs_gather(tree, program, n_trials=2, seed=seed)
+            n_ok += 1
+        assert n_ok >= 5
