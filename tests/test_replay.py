@@ -261,3 +261,35 @@ class TestRandomizedForwardDifferential:
             _simulate_vs_gather(tree, program, n_trials=2, seed=seed)
             n_ok += 1
         assert n_ok >= 5
+
+
+class TestReplayFullStack:
+    def test_ccf_expanded_fixture_through_replay(self):
+        """The flagship engine on a full-stack tree: XML -> initializer
+        -> beta-factor CCF expansion -> compile -> replay schedule,
+        vs the gather engine."""
+        import os
+        from canopy_tpu.compiler.graph import compile_fault_tree
+        from canopy_tpu.mef import Initializer
+        from canopy_tpu.settings import Settings
+        fx = os.path.join(os.path.dirname(__file__), "fixtures",
+                          "aralia_like_ccf.xml")
+        settings = Settings().probability_analysis(True).ccf_analysis(True)
+        model = Initializer([fx], settings).model
+        tree = compile_fault_tree(
+            model.fault_trees.get("aralia_like_ccf"))
+        program = build_replay_schedule(
+            tree, brs_chunk=64, brs_bufs=3, grs_chunk=64, grs_bufs=2,
+            slab_bufs=2, slab_tiles=4, max_ops_per_segment=60,
+            pool_slots=40, hoist_events=4, n_refill_sems=4,
+            n_flush_sems=2)
+        _simulate_vs_gather(tree, program, seed=6)
+        rng = np.random.default_rng(6)
+        p = jnp.asarray(rng.uniform(0.0, 0.3, (1024, tree.n_basic)),
+                        jnp.float32)
+        house = tree.house_state_vector()
+        got = np.asarray(replay_propagate(program, p, house,
+                                          interpret=True))
+        ref = np.asarray(top_event_probability(tree, p,
+                                               jnp.asarray(house)))
+        np.testing.assert_allclose(got, ref, rtol=2e-6, atol=1e-7)
