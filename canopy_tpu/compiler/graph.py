@@ -451,56 +451,52 @@ def prune_to_top_cone(tree: CompiledTree) -> CompiledTree:
         raise LogicError("prune_to_top_cone needs an anchored top event")
     base = tree.n_basic + tree.n_house
 
-    # Reverse reachability from the top over the block rows.
-    args_of: dict[int, list[int]] = {}
-    for level in tree.levels:
+    # Reverse reachability from the top, one vectorized pass over the
+    # levels in reverse topological order (args precede gates, so a
+    # single sweep reaches the whole cone; no per-element Python loop —
+    # at config-3 scale the old dict walk cost seconds per build).
+    in_cone = np.zeros(tree.n_nodes, dtype=bool)
+    in_cone[tree.top_index] = True
+    for level in reversed(tree.levels):
         for _kind, b in level.iter_blocks():
+            keep = in_cone[np.asarray(b.out_idx)]
+            if not keep.any():
+                continue
+            args = np.asarray(b.arg_idx)[keep]
             mask = getattr(b, "arg_mask", None)
-            for i in range(b.n_gates):
-                out = int(b.out_idx[i])
-                row = b.arg_idx[i]
-                if mask is None:
-                    args_of[out] = [int(s) for s in row]
-                else:
-                    args_of[out] = [int(s) for s, m in zip(row, mask[i])
-                                    if m]
-    cone: set[int] = set()
-    stack = [tree.top_index]
-    while stack:
-        s = stack.pop()
-        if s < base or s in cone:
-            continue
-        cone.add(s)
-        stack.extend(args_of.get(s, ()))
-    if len(cone) == tree.n_gates:
+            if mask is not None:
+                args = args[np.asarray(mask)[keep]]
+            in_cone[args.reshape(-1)] = True
+    n_cone = int(in_cone[base:].sum())
+    if n_cone == tree.n_gates:
         return tree
 
-    # New slots in traversal order (keeps blocks' outputs contiguous).
-    new_slot: dict[int, int] = {}
+    # New slots in traversal order (keeps blocks' outputs contiguous),
+    # as a dense old-slot -> new-slot lookup table (identity below
+    # ``base``, so remaps are single numpy gathers).
+    lut = np.arange(tree.n_nodes, dtype=np.int64)
+    next_slot = base
     for level in tree.levels:
         for _kind, b in level.iter_blocks():
-            for i in range(b.n_gates):
-                out = int(b.out_idx[i])
-                if out in cone:
-                    new_slot[out] = base + len(new_slot)
+            out = np.asarray(b.out_idx)
+            kept = out[in_cone[out]]
+            lut[kept] = np.arange(next_slot, next_slot + len(kept))
+            next_slot += len(kept)
+    gate_slots = np.nonzero(in_cone)[0]
+    new_slot = {int(s): int(lut[s])       # gates/gate_index remap
+                for s in gate_slots[gate_slots >= base]}
 
     def remap(idx: np.ndarray) -> np.ndarray:
-        out = idx.copy()
-        flat = out.reshape(-1)
-        for j, s in enumerate(flat):
-            if s >= base:
-                flat[j] = new_slot[int(s)]
-        return out
+        return lut[idx].astype(idx.dtype)
 
     new_levels = []
     for level in tree.levels:
         prods, pairs, counts = [], [], []
         for kind, b in level.iter_blocks():
-            keep = np.array([int(o) in cone for o in b.out_idx])
+            keep = in_cone[np.asarray(b.out_idx)]
             if not keep.any():
                 continue
-            out_idx = np.array([new_slot[int(o)]
-                                for o in b.out_idx[keep]], dtype=np.int32)
+            out_idx = lut[np.asarray(b.out_idx)[keep]].astype(np.int32)
             if kind == "prod":
                 prods.append(ProdBlock(
                     out_idx, remap(b.arg_idx[keep]), b.arg_flip[keep],
@@ -519,12 +515,13 @@ def prune_to_top_cone(tree: CompiledTree) -> CompiledTree:
 
     slot_to_gate = {tree.gate_index[g.id]: g for g in tree.gates}
     new_gates = [slot_to_gate[s]
-                 for s in sorted(cone, key=new_slot.__getitem__)
+                 for s in sorted(new_slot, key=new_slot.__getitem__)
                  if s in slot_to_gate]
     new_gate_index = {gid: new_slot[s]
-                      for gid, s in tree.gate_index.items() if s in cone}
+                      for gid, s in tree.gate_index.items()
+                      if s in new_slot}
     return CompiledTree(
-        n_basic=tree.n_basic, n_house=tree.n_house, n_gates=len(cone),
+        n_basic=tree.n_basic, n_house=tree.n_house, n_gates=n_cone,
         basic_index=tree.basic_index, house_index=tree.house_index,
         gate_index=new_gate_index, levels=new_levels,
         basic_events=tree.basic_events, house_events=tree.house_events,

@@ -302,9 +302,16 @@ def make_propagator(tree: CompiledTree, output: str = "top",
             house = _build_house(tree, house_states)
             # Off-grid / oversized batches fall back to the gather
             # engine; top-only queries evaluate the pruned cone
-            # (bit-identical, compiler/graph.prune_to_top_cone).
-            cone_tree = prune_to_top_cone(tree) \
-                if tree.top_index is not None else tree
+            # (bit-identical, compiler/graph.prune_to_top_cone).  Built
+            # lazily: when the kernel engines serve every call, the
+            # fallback's cone build is dead code and costs nothing.
+            _cone: list = []
+
+            def cone_tree():
+                if not _cone:
+                    _cone.append(prune_to_top_cone(tree)
+                                 if tree.top_index is not None else tree)
+                return _cone[0]
 
             def fn(basic_p, house_states=None):
                 if house_states is not None:
@@ -332,7 +339,7 @@ def make_propagator(tree: CompiledTree, output: str = "top",
                     return spill_propagate(spill_program, basic_p, house)
                 if fused_ok:
                     return fused_propagate(tree, basic_p, house)
-                return top_event_probability(cone_tree, basic_p,
+                return top_event_probability(cone_tree(), basic_p,
                                              jnp.asarray(house))
             return jax.jit(fn)
     if engine == "stream":

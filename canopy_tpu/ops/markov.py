@@ -303,9 +303,14 @@ def sparse_lu(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     Intended for CTMC balance matrices (diagonally dominated after the
     normalization-row substitution, so pivoting-free elimination is
     stable); raises :class:`LogicError` on a (near-)zero pivot.
-    ``pivot_tol`` defaults to a *relative* threshold —
-    ``1e3 * eps * max|A|`` — so a nearly singular matrix raises instead
-    of silently producing a garbage factorization.  The
+    ``pivot_tol`` defaults to a *per-row relative* threshold —
+    ``1e3 * eps * max|row i of A|`` — so a nearly singular matrix raises
+    instead of silently producing a garbage factorization, while rows
+    whose rates are legitimately many orders of magnitude below the
+    global ``max|A|`` (rare-failure rows alongside fast-repair rows in
+    one CTMC) are judged against their own scale; the post-solve
+    residual check in :func:`markov_stationary` rejects genuinely
+    inaccurate factorizations that slip past it.  The
     factorization is host work done once per submodel; both factors
     compile to :class:`BlockedTriangular` programs so repeated solves
     (per trial / per time point) run on device.
@@ -335,9 +340,18 @@ def sparse_lu(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
         indices = np.concatenate(new_idx) if new_idx else \
             np.zeros(0, dtype=np.int64)
         data = np.concatenate(new_dat) if new_dat else np.zeros(0)
+    row_tol = None
     if pivot_tol is None:
-        scale = float(np.max(np.abs(data))) if len(data) else 0.0
-        pivot_tol = 1e3 * np.finfo(np.float64).eps * scale
+        # Per-row scale of the (permuted) input matrix: a row's pivot is
+        # near-zero relative to its OWN rates, not the global max —
+        # CTMCs legitimately mix ~1e6 repair rows with ~1e-9 failure
+        # rows, and a global threshold would reject the latter.
+        row_tol = np.zeros(n, dtype=np.float64)
+        absd = np.abs(data)
+        for i in range(n):
+            seg = absd[indptr[i]:indptr[i + 1]]
+            row_tol[i] = seg.max() if len(seg) else 0.0
+        row_tol *= 1e3 * np.finfo(np.float64).eps
     U_cols: list[np.ndarray] = [None] * n   # ascending, first is diag
     U_vals: list[np.ndarray] = [None] * n
     L_rows: list[list[tuple[int, float]]] = [None] * n
@@ -369,10 +383,11 @@ def sparse_lu(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
                         heapq.heappush(heap, c)
                         in_heap.add(c)
         piv = work.pop(i, 0.0)
-        if abs(piv) <= pivot_tol:
+        tol_i = pivot_tol if row_tol is None else row_tol[i]
+        if abs(piv) <= tol_i:
             raise LogicError(
                 f"sparse_lu: (near-)zero pivot {piv:.3e} at row {i} "
-                f"(threshold {pivot_tol:.3e}; matrix is singular or "
+                f"(threshold {tol_i:.3e}; matrix is singular or "
                 "needs pivoting)")
         cols = np.array([i] + sorted(work), dtype=np.int64)
         vals = np.array([piv] + [work[c] for c in sorted(work)])

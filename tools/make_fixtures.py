@@ -331,9 +331,10 @@ def freeze_substitution_golden(golden: dict) -> None:
 _ALIGNMENT_XML = """<?xml version="1.0"?>
 <opsa-mef name="aralia_like_alignment">
   <!-- Hand-computable: top = (p1 AND p2) OR (maint AND valve);
-       exponential basics, mission 1000 h.  Phase "run" (0.6): maint
-       false -> P = (1-e^-la*600)^2.  Phase "service" (0.4): maint true
-       -> P = 1-(1-(1-e^-la*400)^2)(1-(1-e^-lv*400)). -->
+       exponential basics, mission 8760 h (the default).  Phase "run"
+       (0.6, 5256 h): maint false -> P = (1-e^-la*5256)^2.  Phase
+       "service" (0.4, 3504 h): maint true
+       -> P = 1-(1-(1-e^-la*3504)^2)(1-(1-e^-lv*3504)). -->
   <define-fault-tree name="aralia_like_alignment">
     <define-gate name="al-top">
       <or><gate name="pumps"/><gate name="maint-line"/></or>
