@@ -73,7 +73,12 @@ class ReplayAdjointProgram:
     - ``("tfstart"/"tfwait", slab_buf, n, row0)`` — flush slab rows
       ``[0, n)`` to tape rows ``[row0, row0+n)``.
 
-    ``bwd_segments[k]`` (executed for k = n_segs-1 .. 0):
+    ``bwd_segments[k]`` is a LIST of sub-kernel op lists (executed for
+    k = n_segs-1 .. 0, sub-kernels in list order): each sub-kernel is
+    one ``pallas_call`` of at most ``max_bwd_ops`` estimated tile ops
+    (host tracing of straight-line kernels is superlinear in kernel
+    size), with the adjoint pool crossing sub-kernel boundaries through
+    the adjoint scratch (``lstart``/``dstart``).  Sub-kernel grammar:
 
     - ``("binit",)`` — adjoint of the top slot := cotangent.
     - ``("lstart"/"lwait")`` / ``("dstart"/"dwait")`` — adjoint pool
@@ -113,6 +118,7 @@ class ReplayAdjointProgram:
     inj_bufs: int
     side_cap: int
     adj_rows: int                  # adjoint scratch rows: P + n_evicted
+    max_bwd_ops: int = 12288       # estimated tile-op cap per sub-kernel
 
     @property
     def bwd_vmem_bytes(self) -> int:
@@ -129,6 +135,7 @@ def build_replay_adjoint(tree, tct: int = 128, tape_bufs: int = 3,
                          icot_bufs: int = 2, inj_chunk: int = 64,
                          inj_bufs: int = 2, side_cap: int = 128,
                          vmem_budget: int = _VMEM_BUDGET,
+                         max_bwd_ops: int = 12288,
                          **replay_kwargs) -> ReplayAdjointProgram:
     """Build forward and adjoint replay schedules for ``tree``.
 
@@ -158,23 +165,24 @@ def build_replay_adjoint(tree, tct: int = 128, tape_bufs: int = 3,
     program = build_replay_schedule(tree, **replay_kwargs)
     return _build_adjoint(program, tct, tape_bufs, tape_slab, gcot_bufs,
                           icot_bufs, inj_chunk, inj_bufs, side_cap,
-                          vmem_budget)
+                          vmem_budget, max_bwd_ops)
 
 
-def _ring_schedule(core, uses_of, n_bufs, descending=True):
+def _ring_schedule(core, uses_of, n_bufs, descending=True, base=0):
     """Generic ring-event scheduler over a core op list.
 
     ``uses_of``: chunk -> sorted list of core-op indices using it.
     Returns (starts_at, waits_at): core index -> [chunk, ...], with
     chunk c's DMA started after the last use of the chunk ``n_bufs``
-    positions earlier in consumption order (or at index 0).
+    positions earlier in consumption order (or at index ``base`` — the
+    first position of the sub-kernel being scheduled).
     """
     order = sorted(uses_of, reverse=descending)
     starts: dict[int, list[int]] = {}
     waits: dict[int, list[int]] = {}
     for rank, c in enumerate(order):
         if rank < n_bufs:
-            at = 0
+            at = base
         else:
             at = uses_of[order[rank - n_bufs]][-1] + 1
         first = uses_of[c][0]
@@ -189,7 +197,8 @@ def _ring_schedule(core, uses_of, n_bufs, descending=True):
 
 def _build_adjoint(program: ReplayProgram, tct, tape_bufs, tape_slab,
                    gcot_bufs, icot_bufs, inj_chunk, inj_bufs, side_cap,
-                   vmem_budget) -> ReplayAdjointProgram:
+                   vmem_budget,
+                   max_bwd_ops: int = 12288) -> ReplayAdjointProgram:
     if program.trace is None:
         raise LogicError("replay adjoint needs a program with a trace")
     tr = program.trace
@@ -326,7 +335,21 @@ def _build_adjoint(program: ReplayProgram, tct, tape_bufs, tape_slab,
     # tape_pos keys are (exec-order gate counter, ai); gates records use
     # the same ordering (g == index).  Map (g, ai) directly.
 
-    # ---- backward pass per segment ----------------------------------
+    # ---- backward pass per segment, split into sub-kernels ----------
+    # A backward segment's unrolled tile-op count is ~6-8x its forward
+    # gate count (leave-one-out partials), and host tracing of
+    # straight-line Pallas programs is superlinear in per-kernel size
+    # (the 65k tree's one-kernel-per-segment backward traced 45+ min —
+    # the ~15k-op wall).  Each segment's reversed-event core is
+    # therefore CUT into sub-kernels of at most ``max_bwd_ops``
+    # estimated tile ops, at boundaries where no VMEM state is live
+    # except the adjoint pool — which crosses through the adjoint
+    # scratch via the same dump/load the forward pool uses.  Live state
+    # that pins a boundary: an adjoint-slab mirror between its first
+    # cotangent write and its reversed eviction, a side buffer between
+    # ``rside`` and its ``bevict``, and a partially written gcot/icot
+    # chunk.  Tape / injection ring chunks straddling a cut are simply
+    # re-read by the next sub-kernel.
     bwd_segments = []
     n_evict = program.n_evicted
     for k in range(n_segs):
@@ -335,15 +358,19 @@ def _build_adjoint(program: ReplayProgram, tct, tape_bufs, tape_slab,
         seg_evicts = [e for tag, e in events if tag == "evict"]
         e_lo = min(seg_evicts) if seg_evicts else 0
         e_hi = max(seg_evicts) + 1 if seg_evicts else 0
-        seg_has_inj = any(e in has_inj for e in seg_evicts)
 
-        # Core ops (reversed event order), with per-op ring uses.
+        # Core ops (reversed event order), with per-op ring uses, an
+        # estimated unrolled-tile-op cost, and boundary-pinning spans.
         core = []
+        cost: list[int] = []
         tape_uses: dict[int, list[int]] = {}
         inj_uses: dict[int, list[int]] = {}
         gcot_uses: dict[int, list[int]] = {}
         icot_uses: dict[int, list[int]] = {}
         side_idx_of: dict[int, int] = {}
+        side_pos: dict[int, int] = {}
+        aslab_start: dict[int, int] = {}
+        live_spans: list[tuple[int, int]] = []
         n_side = 0
 
         def inj_loc(e):
@@ -362,22 +389,29 @@ def _build_adjoint(program: ReplayProgram, tct, tape_bufs, tape_slab,
                         "replay adjoint: intra-refill side buffer "
                         f"overflow ({side_cap}) — use the gather engine")
                 side_idx_of[x] = n_side
+                side_pos[x] = pos_i
                 core.append(("rside", n_side, rec["slot"]))
+                cost.append(2)
                 n_side += 1
             elif tag == "evict":
                 ev = evict_by_e[x]
                 inj = None
                 if x in has_inj:
                     j, off = inj_loc(x)
-                    inj = (j, off)          # buffer resolved below
+                    inj = (j, off)       # buffer resolved per sub-kernel
                     inj_uses.setdefault(j, []).append(pos_i)
                 slab = None
                 if x in slab_reads_of:
                     slab = ((x // program.slab_tiles) % program.slab_bufs,
                             x % program.slab_tiles)
+                    live_spans.append((aslab_start[x], pos_i))
                 sides = [side_idx_of[kk] for kk in refs_of_evict.get(x, ())
                          if kk in side_idx_of]
+                for kk in refs_of_evict.get(x, ()):
+                    if kk in side_pos:
+                        live_spans.append((side_pos[kk], pos_i))
                 core.append(("bevict", ev["slot"], inj, slab, sides))
+                cost.append(2 + len(sides))
             else:  # gate
                 rec = gates[x]
                 bargs = []
@@ -397,6 +431,7 @@ def _build_adjoint(program: ReplayProgram, tct, tape_bufs, tape_slab,
                     elif loc[0] == "slab":
                         e = loc[1]
                         first = last_slab_read[e] == (x, ai)
+                        aslab_start.setdefault(e, pos_i)
                         gloc = ("aslab",
                                 (e // program.slab_tiles)
                                 % program.slab_bufs,
@@ -416,19 +451,48 @@ def _build_adjoint(program: ReplayProgram, tct, tape_bufs, tape_slab,
                 core.append(("bgate", rec["kind"],
                              intervals[out_iid]["slot"], bargs,
                              rec["aux"]))
+                F = len(rec["args"])
+                if rec["kind"] == "count":
+                    cost.append(F * (F - 1) * (rec["aux"][1] + 1)
+                                + 4 * F)
+                else:
+                    cost.append(8 * F + 6)
 
         for uses in (tape_uses, inj_uses, gcot_uses, icot_uses):
             for v in uses.values():
                 v.sort()
-        t_starts, t_waits = _ring_schedule(core, tape_uses, tape_bufs)
-        # Injection chunk ids ascend in consumption order (chunk 0
-        # covers the highest adjoint-log rows, read first) and may be
-        # SPARSE (only chunks containing log-receiving evictions are
-        # read), so buffers are assigned by consumption rank, not id.
-        i_starts, i_waits = _ring_schedule(core, inj_uses, inj_bufs,
-                                           descending=False)
-        inj_order = sorted(inj_uses)
-        inj_buf_of = {c: r % inj_bufs for r, c in enumerate(inj_order)}
+        for us in list(gcot_uses.values()) + list(icot_uses.values()):
+            live_spans.append((us[0], us[-1]))
+
+        # Valid cut positions + greedy sub-kernel selection: accumulate
+        # estimated cost; once past the budget, cut at the latest valid
+        # boundary seen (overrunning only when no boundary exists yet —
+        # a pinned span longer than the budget).
+        n_core = len(core)
+        invalid = np.zeros(n_core + 1, dtype=bool)
+        for s, e in live_spans:
+            invalid[s + 1:e + 1] = True
+        cuts = [0]
+        lo_c = 0
+        while lo_c < n_core:
+            acc = 0
+            p = lo_c
+            best = None
+            cut_made = False
+            while p < n_core:
+                acc += cost[p]
+                p += 1
+                if not invalid[p]:
+                    best = p
+                if acc >= max_bwd_ops and best is not None \
+                        and best > lo_c:
+                    cuts.append(best)
+                    lo_c = best
+                    cut_made = True
+                    break
+            if not cut_made:
+                cuts.append(n_core)
+                lo_c = n_core
 
         # Write-stream rings (gcot/icot): zero+start-of-use before the
         # first write of a chunk, flush after its last write; the
@@ -446,84 +510,119 @@ def _build_adjoint(program: ReplayProgram, tct, tape_bufs, tape_slab,
                     fwait_before_zero[c] = order[rank - n_bufs]
             return order, zero_at, fstart_at, fwait_before_zero
 
-        g_order, g_zero, g_fstart, g_fwait = wstream_events(gcot_uses,
-                                                            gcot_bufs)
-        i_order, i_zero, i_fstart, i_fwait = wstream_events(icot_uses,
-                                                            icot_bufs)
+        def emit_sub(lo, hi, first_kernel, last_kernel):
+            """Emit the op list for core positions [lo, hi)."""
+            def in_range(uses):
+                out = {}
+                for c, us in uses.items():
+                    sub = [u for u in us if lo <= u < hi]
+                    if sub:
+                        out[c] = sub
+                return out
 
-        # Resolve inj chunk ids to ring buffers in the core ops.
-        for idx, op in enumerate(core):
-            if op[0] == "bevict" and op[2] is not None:
-                j, off = op[2]
-                core[idx] = (op[0], op[1], (inj_buf_of[j], off), op[3],
-                             op[4])
+            sub_tape = in_range(tape_uses)
+            sub_inj = in_range(inj_uses)
+            sub_gcot = in_range(gcot_uses)
+            sub_icot = in_range(icot_uses)
+            t_starts, t_waits = _ring_schedule(core, sub_tape, tape_bufs,
+                                               base=lo)
+            # Injection chunk ids ascend in consumption order (chunk 0
+            # covers the highest adjoint-log rows, read first) and may
+            # be SPARSE, so buffers go by consumption rank, not id.
+            i_starts, i_waits = _ring_schedule(core, sub_inj, inj_bufs,
+                                               descending=False, base=lo)
+            inj_buf_of = {c: r % inj_bufs
+                          for r, c in enumerate(sorted(sub_inj))}
+            g_order, g_zero, g_fstart, g_fwait = wstream_events(
+                sub_gcot, gcot_bufs)
+            i_order, i_zero, i_fstart, i_fwait = wstream_events(
+                sub_icot, icot_bufs)
 
-        ops = []
-        if k == n_segs - 1:
-            ops.append(("binit",))
-        else:
-            ops.append(("lstart",))
-            ops.append(("lwait",))
-        gc_flushed: set[int] = set()
-        ic_flushed: set[int] = set()
-        gc_waited: set[int] = set()
-        ic_waited: set[int] = set()
-        for pos_i in range(len(core) + 1):
-            for c in g_fstart.get(pos_i, ()):
-                ops.append(("gcstart", c, c % gcot_bufs))
-                gc_flushed.add(c)
-            for c in i_fstart.get(pos_i, ()):
-                ops.append(("icstart", c, c % icot_bufs))
-                ic_flushed.add(c)
-            for c in g_zero.get(pos_i, ()):
-                prev = g_fwait.get(c)
-                if prev is not None and prev not in gc_waited:
-                    ops.append(("gcwait", prev, prev % gcot_bufs))
-                    gc_waited.add(prev)
-                ops.append(("gczero", c % gcot_bufs))
-            for c in i_zero.get(pos_i, ()):
-                prev = i_fwait.get(c)
-                if prev is not None and prev not in ic_waited:
-                    ops.append(("icwait", prev, prev % icot_bufs))
-                    ic_waited.add(prev)
-                ops.append(("iczero", c % icot_bufs))
-            for c in t_starts.get(pos_i, ()):
-                row0 = c * tct
-                n = min(tct, tape_rows - row0)
-                ops.append(("tstart", row0, n, c % tape_bufs))
-            for c in i_starts.get(pos_i, ()):
-                j = c
-                hi = e_hi - j * inj_chunk
-                lo = max(hi - inj_chunk, e_lo)
-                ops.append(("istart", lo, hi - lo, inj_buf_of[j]))
-            for c in t_waits.get(pos_i, ()):
-                row0 = c * tct
-                n = min(tct, tape_rows - row0)
-                ops.append(("twait", row0, n, c % tape_bufs))
-            for c in i_waits.get(pos_i, ()):
-                j = c
-                hi = e_hi - j * inj_chunk
-                lo = max(hi - inj_chunk, e_lo)
-                ops.append(("iwait", lo, hi - lo, inj_buf_of[j]))
-            if pos_i < len(core):
-                ops.append(core[pos_i])
-        # Land all write-stream flushes.
-        for c in g_order:
-            if c not in gc_flushed:   # pragma: no cover - defensive
-                ops.append(("gcstart", c, c % gcot_bufs))
-            if c not in gc_waited:
-                ops.append(("gcwait", c, c % gcot_bufs))
-                gc_waited.add(c)
-        for c in i_order:
-            if c not in ic_flushed:   # pragma: no cover - defensive
-                ops.append(("icstart", c, c % icot_bufs))
-            if c not in ic_waited:
-                ops.append(("icwait", c, c % icot_bufs))
-                ic_waited.add(c)
-        if k > 0:
-            ops.append(("dstart",))
-            ops.append(("dwait",))
-        bwd_segments.append(ops)
+            ops = []
+            if first_kernel:
+                ops.append(("binit",))
+            else:
+                ops.append(("lstart",))
+                ops.append(("lwait",))
+            gc_flushed: set[int] = set()
+            ic_flushed: set[int] = set()
+            gc_waited: set[int] = set()
+            ic_waited: set[int] = set()
+            for pos_i in range(lo, hi + 1):
+                for c in g_fstart.get(pos_i, ()):
+                    ops.append(("gcstart", c, c % gcot_bufs))
+                    gc_flushed.add(c)
+                for c in i_fstart.get(pos_i, ()):
+                    ops.append(("icstart", c, c % icot_bufs))
+                    ic_flushed.add(c)
+                for c in g_zero.get(pos_i, ()):
+                    prev = g_fwait.get(c)
+                    if prev is not None and prev not in gc_waited:
+                        ops.append(("gcwait", prev, prev % gcot_bufs))
+                        gc_waited.add(prev)
+                    ops.append(("gczero", c % gcot_bufs))
+                for c in i_zero.get(pos_i, ()):
+                    prev = i_fwait.get(c)
+                    if prev is not None and prev not in ic_waited:
+                        ops.append(("icwait", prev, prev % icot_bufs))
+                        ic_waited.add(prev)
+                    ops.append(("iczero", c % icot_bufs))
+                for c in t_starts.get(pos_i, ()):
+                    row0 = c * tct
+                    n = min(tct, tape_rows - row0)
+                    ops.append(("tstart", row0, n, c % tape_bufs))
+                for c in i_starts.get(pos_i, ()):
+                    j = c
+                    hi_e = e_hi - j * inj_chunk
+                    lo_e = max(hi_e - inj_chunk, e_lo)
+                    ops.append(("istart", lo_e, hi_e - lo_e,
+                                inj_buf_of[j]))
+                for c in t_waits.get(pos_i, ()):
+                    row0 = c * tct
+                    n = min(tct, tape_rows - row0)
+                    ops.append(("twait", row0, n, c % tape_bufs))
+                for c in i_waits.get(pos_i, ()):
+                    j = c
+                    hi_e = e_hi - j * inj_chunk
+                    lo_e = max(hi_e - inj_chunk, e_lo)
+                    ops.append(("iwait", lo_e, hi_e - lo_e,
+                                inj_buf_of[j]))
+                if pos_i < hi:
+                    op = core[pos_i]
+                    if op[0] == "bevict" and op[2] is not None:
+                        j, off = op[2]
+                        op = (op[0], op[1], (inj_buf_of[j], off),
+                              op[3], op[4])
+                    ops.append(op)
+            # Land all write-stream flushes.
+            for c in g_order:
+                if c not in gc_flushed:   # pragma: no cover - defensive
+                    ops.append(("gcstart", c, c % gcot_bufs))
+                if c not in gc_waited:
+                    ops.append(("gcwait", c, c % gcot_bufs))
+                    gc_waited.add(c)
+            for c in i_order:
+                if c not in ic_flushed:   # pragma: no cover - defensive
+                    ops.append(("icstart", c, c % icot_bufs))
+                if c not in ic_waited:
+                    ops.append(("icwait", c, c % icot_bufs))
+                    ic_waited.add(c)
+            if not last_kernel:
+                ops.append(("dstart",))
+                ops.append(("dwait",))
+            return ops
+
+        sub_lists = []
+        for si in range(len(cuts) - 1):
+            sub_lists.append(emit_sub(
+                cuts[si], cuts[si + 1],
+                first_kernel=(k == n_segs - 1 and si == 0),
+                last_kernel=(k == 0 and si == len(cuts) - 2)))
+        if not sub_lists:       # a segment with an empty core
+            sub_lists.append(emit_sub(
+                0, 0, first_kernel=(k == n_segs - 1),
+                last_kernel=(k == 0)))
+        bwd_segments.append(sub_lists)
 
     aprog = ReplayAdjointProgram(
         base=program, fwd_segments=fwd_segments,
@@ -531,7 +630,7 @@ def _build_adjoint(program: ReplayProgram, tct, tape_bufs, tape_slab,
         tape_seg_start=tape_seg_start, tct=tct, tape_bufs=tape_bufs,
         tape_slab=tape_slab, gcot_bufs=gcot_bufs, icot_bufs=icot_bufs,
         inj_chunk=inj_chunk, inj_bufs=inj_bufs, side_cap=side_cap,
-        adj_rows=P + max(n_evict, 1))
+        adj_rows=P + max(n_evict, 1), max_bwd_ops=max_bwd_ops)
     if aprog.bwd_vmem_bytes > vmem_budget:
         raise LogicError(
             f"replay adjoint: backward working set "
@@ -699,10 +798,8 @@ def simulate_replay_adjoint(aprog: ReplayAdjointProgram,
             return float(v)
         return float(house[vloc[1]])
 
-    for k in range(n_segs_bwd := len(aprog.bwd_segments) - 1, -1, -1):
-        ops = aprog.bwd_segments[k]
-        icot = np.zeros(prog.grs_len_pad[k] or 1)
-        aslab[:] = np.nan
+    def run_sub(ops):
+        nonlocal pend_adump, pend_aload
         for op in ops:
             tag = op[0]
             if tag == "binit":
@@ -833,6 +930,22 @@ def simulate_replay_adjoint(aprog: ReplayAdjointProgram,
                         icbuf[buf, off] = gval
         assert not pend_t and not pend_i and not pend_gc and not pend_ic
         assert pend_adump is None and pend_aload is None
+
+    for k in range(len(aprog.bwd_segments) - 1, -1, -1):
+        icot = np.zeros(prog.grs_len_pad[k] or 1)
+        for sub_ops in aprog.bwd_segments[k]:
+            # Fresh kernel VMEM per sub-kernel: scratch contents do not
+            # persist across pallas_calls — the split constraint says no
+            # live state crosses a cut except the adjoint pool, which
+            # rides the adjoint scratch dump/load.
+            aslab[:] = np.nan
+            side[:] = np.nan
+            tring[:] = np.nan
+            ibuf[:] = np.nan
+            gcbuf[:] = np.nan
+            icbuf[:] = np.nan
+            adj[:] = np.nan
+            run_sub(sub_ops)
         # XLA glue: scatter-add this segment's gate-stream cotangents
         # into the adjoint log.
         n_raw = prog.grs_len[k]

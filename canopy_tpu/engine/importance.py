@@ -135,7 +135,13 @@ def _make_replay_importance_fn(tree: CompiledTree, house_states,
     from ..ops.replay_adjoint_kernel import make_differentiable_replay
     from ..ops.stream_kernel import stage_replay
     try:
-        aprog = build_replay_adjoint(tree)
+        # Forward segments capped at 2048 ops: the taped forward adds a
+        # tape put per argument, and host tracing of straight-line
+        # Pallas kernels is superlinear in per-kernel size (the ~15k
+        # tile-op wall) — the default 8192-op segments trace for tens
+        # of minutes at plant scale.  The backward splits itself into
+        # ``max_bwd_ops`` sub-kernels (compiler/replay_adjoint.py).
+        aprog = build_replay_adjoint(tree, max_ops_per_segment=2048)
     except LogicError:
         return None
     house = tree.house_state_vector() if house_states is None \

@@ -135,15 +135,19 @@ def _tape_fwd_kernel(brs_ref, grs_ref, scr_in, tape_in, scr_out,
         top_ref[0] = pool[prog.top_slot]
 
 
-def _bwd_kernel(tape_ref, adj_in, gcot_in, ct_ref, adj_out, gcot_ref,
-                icot_ref, tring, ibuf, adj, aslab, sidebuf, gcbuf, icbuf,
-                tsems, isems, gcsems, icsems, adsem, *,
+def _bwd_kernel(tape_ref, adj_in, gcot_in, icot_in, ct_ref, adj_out,
+                gcot_ref, icot_ref, tring, ibuf, adj, aslab, sidebuf,
+                gcbuf, icbuf, tsems, isems, gcsems, icsems, adsem, *,
                 aprog: ReplayAdjointProgram, seg_ops,
                 house: np.ndarray, iclen: int):
-    """One backward segment (forward segment k, executed in reverse
-    program order)."""
+    """One backward SUB-kernel (forward segment k is split into
+    sub-kernels of at most ``max_bwd_ops`` estimated tile ops; the
+    adjoint pool crosses sub-kernel boundaries through the adjoint
+    scratch, and the segment's cotangent output array is threaded
+    through every sub-kernel with aliasing — each flushes only its own
+    whole chunks)."""
     prog = aprog.base
-    del adj_in, gcot_in
+    del adj_in, gcot_in, icot_in
     i = pl.program_id(0)
     P = prog.pool_slots
     AR = aprog.adj_rows
@@ -364,30 +368,31 @@ def replay_adjoint_backward(aprog: ReplayAdjointProgram,
     with jax.enable_x64(False):
         for k in range(n_segs - 1, -1, -1):
             iclen = max(prog.grs_len_pad[k], prog.grs_chunk)
-            kernel = functools.partial(
-                _bwd_kernel, aprog=aprog, seg_ops=aprog.bwd_segments[k],
-                house=house, iclen=iclen)
-            res = pl.pallas_call(
-                kernel,
-                grid=(n_tiles,),
-                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 + [
-                    pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                                 memory_space=pltpu.VMEM)],
-                out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
-                out_shape=[
-                    jax.ShapeDtypeStruct(adjscr.shape, jnp.float32),
-                    jax.ShapeDtypeStruct(gcot.shape, jnp.float32),
-                    jax.ShapeDtypeStruct((n_tiles * iclen, 8, 128),
-                                         jnp.float32),
-                ],
-                scratch_shapes=scratch_shapes,
-                input_output_aliases={1: 0, 2: 1},
-                compiler_params=pltpu.CompilerParams(
-                    has_side_effects=True),
-                interpret=(pltpu.InterpretParams() if interpret
-                           else False),
-            )(tape, adjscr, gcot, ct3)
-            adjscr, gcot, icot = res
+            icot = jnp.zeros((n_tiles * iclen, 8, 128), jnp.float32)
+            for sub_ops in aprog.bwd_segments[k]:
+                kernel = functools.partial(
+                    _bwd_kernel, aprog=aprog, seg_ops=sub_ops,
+                    house=house, iclen=iclen)
+                res = pl.pallas_call(
+                    kernel,
+                    grid=(n_tiles,),
+                    in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 + [
+                        pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM)],
+                    out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+                    out_shape=[
+                        jax.ShapeDtypeStruct(adjscr.shape, jnp.float32),
+                        jax.ShapeDtypeStruct(gcot.shape, jnp.float32),
+                        jax.ShapeDtypeStruct(icot.shape, jnp.float32),
+                    ],
+                    scratch_shapes=scratch_shapes,
+                    input_output_aliases={1: 0, 2: 1, 3: 2},
+                    compiler_params=pltpu.CompilerParams(
+                        has_side_effects=True),
+                    interpret=(pltpu.InterpretParams() if interpret
+                               else False),
+                )(tape, adjscr, gcot, icot, ct3)
+                adjscr, gcot, icot = res
             n_raw = prog.grs_len[k]
             if n_raw:
                 # Scatter this segment's gate-stream cotangents into the

@@ -104,10 +104,58 @@ class TestReplayAdjointSchedule:
         aprog = build_replay_adjoint(tree, **ATHRASH)
         b = aprog.base
         assert b.n_intra > 0 and b.n_slab_reads > 0
-        flat = [op for seg in aprog.bwd_segments for op in seg]
+        flat = [op for seg in aprog.bwd_segments for sub in seg
+                for op in sub]
         tags = {op[0] for op in flat}
         assert {"bgate", "bevict", "rside", "istart", "tstart",
                 "gczero", "iczero"} <= tags
+
+    @pytest.mark.parametrize("max_bwd_ops", [64, 300, 2000])
+    def test_bwd_subkernel_split_matches_reference(self, max_bwd_ops):
+        """Backward sub-kernel splitting (the 65k-gate compile wall fix):
+        tiny op budgets force many cuts per segment; the hazard-checked
+        simulator models fresh VMEM per sub-kernel, so any state that
+        illegally crosses a cut (adjoint slab, side buffer, partial
+        cotangent chunk, unsaved adjoint pool) trips a NaN assert."""
+        tree = synthetic_compiled_tree(n_basic=96, n_gates=900, fanin=4,
+                                       n_levels=10, seed=0)
+        aprog = build_replay_adjoint(tree, max_bwd_ops=max_bwd_ops,
+                                     **ATHRASH)
+        n_subs = sum(len(seg) for seg in aprog.bwd_segments)
+        if max_bwd_ops <= 300:
+            assert n_subs > len(aprog.bwd_segments)  # cuts really made
+        rng = np.random.default_rng(0)
+        bp = rng.uniform(0.05, 0.6, tree.n_basic)
+        house = np.zeros(0, np.float32)
+        top, grad = simulate_replay_adjoint(aprog, bp, house, ct=1.0)
+        rtop, rgrad = reference_adjoint(tree, bp, house)
+        assert top == rtop
+        denom = np.maximum(np.abs(rgrad), 1e-300)
+        assert float(np.max(np.abs(grad - rgrad) / denom)) < 1e-10
+
+    def test_kernel_vjp_with_split_backward(self):
+        """The split backward through the interpret-mode kernels: icot
+        threading across sub-kernels with aliasing must reproduce the
+        gather autodiff."""
+        tree = synthetic_compiled_tree(n_basic=96, n_gates=900, fanin=4,
+                                       n_levels=6, seed=KSEED)
+        aprog = build_replay_adjoint(tree, max_bwd_ops=300, **KCONF)
+        assert sum(len(s) for s in aprog.bwd_segments) \
+            > len(aprog.bwd_segments)
+        rng = np.random.default_rng(KSEED)
+        p = jnp.asarray(rng.uniform(0.05, 0.6, (1024, tree.n_basic)),
+                        jnp.float32)
+        house = np.zeros(0, np.float32)
+        f = make_differentiable_replay(aprog, house, interpret=True)
+        val, grad = jax.value_and_grad(
+            lambda bp: f(stage_replay(aprog.base, bp)).sum())(p)
+        rval, rgrad = jax.value_and_grad(
+            lambda x: top_event_probability(
+                tree, x, jnp.asarray(house)).sum())(p)
+        assert float(val) == pytest.approx(float(rval), rel=1e-6)
+        g, rg = np.asarray(grad), np.asarray(rgrad)
+        scale = float(np.max(np.abs(rg)))
+        assert float(np.max(np.abs(g - rg))) / scale < 1e-5
 
     def test_count_gate_guard(self):
         from canopy_tpu.compiler.graph import compile_gates
@@ -248,6 +296,7 @@ class TestRandomizedDifferential:
                 slab_bufs=int(rng.choice([2, 4])),
                 slab_tiles=int(rng.choice([2, 4])),
                 max_ops_per_segment=int(rng.choice([40, 250, 5000])),
+                max_bwd_ops=int(rng.choice([100, 1000, 12288])),
                 pool_slots=int(rng.choice([7, 14])),
                 hoist_events=int(rng.choice([0, 16])),
                 n_refill_sems=4, n_flush_sems=2)
