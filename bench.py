@@ -822,6 +822,97 @@ def sec_replay_config3(rng, dtype, roofline, fanin):
           f"{program_rc.n_evicted} evicted)", file=sys.stderr)
 
 
+def sec_auto400k(rng, dtype, roofline, fanin):
+    """The PUBLIC auto-dispatch path at the 400k headline scale: the
+    propagator's identity-keyed staging cache must deliver the staged
+    replay kernel on repeat calls, not 49 ms of per-call re-staging
+    (VERDICT r4 item 4).  Protocol: one warm call stages; then the
+    marginal cost of N pipelined repeat calls on the same array is
+    differenced against a single call, and compared to the staged
+    kernel's chained-loop time.  The repeat calls dispatch through the
+    un-jitted dispatcher, so this measures what a hot analysis loop
+    actually gets."""
+    import jax
+    import jax.numpy as jnp
+    from canopy_tpu.engine.propagate import make_propagator
+    from canopy_tpu.ops.stream_kernel import (compile_replay_stream,
+                                              replay_propagate_staged,
+                                              stage_replay)
+    from canopy_tpu.utils.synthetic import synthetic_compiled_tree
+
+    au_gates = int(os.environ.get("BENCH_AUTO_GATES", "400000"))
+    au_trials = int(os.environ.get("BENCH_AUTO_TRIALS", "2048"))
+    tree_au = synthetic_compiled_tree(n_basic=8192, n_gates=au_gates,
+                                      fanin=fanin, n_levels=14, seed=0)
+    basic_au = jnp.asarray(
+        rng.uniform(0.0, 0.05, (au_trials, tree_au.n_basic)), dtype)
+    fn = make_propagator(tree_au)          # auto: routes to replay
+
+    # Staged-kernel reference on the same program (chained fori_loop —
+    # the only honest sub-ms timing through the tunnel).
+    program_au = compile_replay_stream(tree_au)
+    house_au = np.zeros(0, np.float32)
+    brs_au = jax.jit(lambda p: stage_replay(program_au, p))(basic_au)
+
+    @jax.jit
+    def repeat_au(b, n_iter):
+        def body(i, carry):
+            acc, b = carry
+            b = jax.lax.dynamic_update_index_in_dim(
+                b, b[0] * (1.0 + 1e-9), 0, axis=0)
+            v = replay_propagate_staged(program_au, b, house_au)
+            return (acc + v.sum(), b)
+        acc, _ = jax.lax.fori_loop(0, n_iter, body,
+                                   (jnp.asarray(0.0, dtype), b))
+        return acc
+
+    k_iters = int(os.environ.get("BENCH_AUTO_ITERS", "128"))
+    k_dt, k_iters = measure(
+        lambda n: _best3(repeat_au, brs_au, n), k_iters,
+        name="auto-400k-kernel", work=program_au.nnz * au_trials,
+        roofline=roofline, hist=_HISTORY.get("replay-config3"))
+
+    # Correctness of the dispatcher + cache invalidation: a second,
+    # different array must re-stage (values match a fresh staged eval).
+    r1 = np.asarray(fn(basic_au))
+    ref1 = np.asarray(jax.jit(lambda b: replay_propagate_staged(
+        program_au, b, house_au))(brs_au))
+    basic_au2 = basic_au.at[:, 0].mul(1.5)
+    r2 = np.asarray(fn(basic_au2))
+    brs_au2 = jax.jit(lambda p: stage_replay(program_au, p))(basic_au2)
+    ref2 = np.asarray(jax.jit(lambda b: replay_propagate_staged(
+        program_au, b, house_au))(brs_au2))
+    ok = np.array_equal(r1, ref1) and np.array_equal(r2, ref2)
+
+    # Marginal repeat-call cost: T(1+N) - T(1) over N, best of 3, all
+    # calls after the stage (the first fn(basic_au) above staged it;
+    # r2's call re-staged for basic_au2 — re-prime on basic_au).
+    def t_calls(n):
+        fn(basic_au).block_until_ready()   # prime the cache entry
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for _i in range(n):
+                out = fn(basic_au)
+            out.block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+    reps = int(os.environ.get("BENCH_AUTO_REPS", "64"))
+    m_dt = (t_calls(1 + reps) - t_calls(1)) / reps
+    ratio = m_dt / k_dt
+    value = program_au.nnz * au_trials / m_dt
+    _record("auto-400k", value, "nnz*trials/s marginal", m_dt, reps)
+    _sections["auto-400k"]["kernel_ms"] = round(k_dt * 1e3, 4)
+    _sections["auto-400k"]["ratio_vs_kernel"] = round(ratio, 3)
+    _sections["auto-400k"]["bit_exact"] = bool(ok)
+    print(f"bench[auto-400k {tree_au.n_gates}g]: staged kernel "
+          f"{k_dt*1e3:.3f} ms/iter; public auto-dispatch marginal "
+          f"{m_dt*1e3:.3f} ms/call over {reps} pipelined repeat calls "
+          f"= {ratio:.2f}x the kernel (cache invalidation "
+          f"{'bit-exact' if ok else 'MISMATCH'})", file=sys.stderr)
+
+
 def sec_bdd_stream(rng, dtype, roofline):
     """Exact-BDD streaming evaluation (one fused Shannon mux per node)."""
     import jax
@@ -1192,6 +1283,8 @@ def _runner(name):
         sec_replay_adjoint(rng, dtype, roofline, fanin)
     elif name == "replay-config3":
         sec_replay_config3(rng, dtype, roofline, fanin)
+    elif name == "auto-400k":
+        sec_auto400k(rng, dtype, roofline, fanin)
     elif name == "block-gather":
         sec_block_gather(rng, dtype, roofline)
     elif name == "bsr":
@@ -1205,8 +1298,8 @@ SECTION_RUNNERS = {
     for name in ("fused-tiled", "fused-vmem", "gather", "replay",
                  "adjoint", "stream", "spill", "config3-1M",
                  "bdd-stream", "gather-bf16", "mc-bitpacked",
-                 "replay-adjoint", "replay-config3", "block-gather",
-                 "bsr")
+                 "replay-adjoint", "replay-config3", "auto-400k",
+                 "block-gather", "bsr")
 }
 
 
@@ -1281,6 +1374,7 @@ def main() -> None:
             ("config3-1M", "config3", 900),
             ("replay-adjoint", "replay-adjoint", 900),
             ("replay-config3", "replay-config3", 900),
+            ("auto-400k", "auto-400k", 900),
             ("stream", "stream", 600),
             ("spill", "spill", 600),
             ("bdd-stream", "bdd", 600),

@@ -98,6 +98,14 @@ class ReplayProgram:
     brs_len_pad: int
     brs_chunk: int
     brs_bufs: int
+    #: Hybrid resident-basic tier: the first ``res_tiles`` staged rows
+    #: of every trial-tile block hold one tile per RESIDENT basic (high
+    #: reuse), loaded whole into VMEM at each segment start
+    #: (``("rlstart",)/("rlwait",)``) and read as ``("rbas", idx)`` —
+    #: replacing per-read stream duplication for those basics
+    #: (docs/CAPABILITIES gap: replay stream duplication vs staging
+    #: ring).  0 = pure per-read stream.
+    res_tiles: int
     grs_rows: list        # per segment: np.ndarray of scratch rows (padded)
     grs_len: list         # per segment: raw (unpadded) entry count
     grs_len_pad: list     # per segment: padded length (0 = no stream)
@@ -118,6 +126,7 @@ class ReplayProgram:
     n_intra: int
     n_inter: int
     n_slab_reads: int
+    n_resident_reads: int
     #: Semantic trace for the adjoint compiler: residency intervals,
     #: per-gate routed arg semantics, per-segment event order.
     trace: dict | None = None
@@ -126,7 +135,7 @@ class ReplayProgram:
     def vmem_bytes(self) -> int:
         return (self.brs_bufs * self.brs_chunk
                 + self.grs_bufs * self.grs_chunk
-                + self.pool_slots
+                + self.pool_slots + self.res_tiles
                 + self.slab_bufs * self.slab_tiles) * _TILE_BYTES
 
 
@@ -139,8 +148,16 @@ def build_replay_schedule(tree: CompiledTree, brs_chunk: int = 256,
                           hoist_events: int = 64,
                           n_refill_sems: int = 16,
                           n_flush_sems: int = 4,
+                          resident_tiles: int = 0,
                           vmem_budget: int = _VMEM_BUDGET) -> ReplayProgram:
     """Compile ``tree`` into a :class:`ReplayProgram`.
+
+    ``resident_tiles`` > 0 enables the hybrid basic tier: up to that
+    many high-reuse basics (those read more often than once per
+    segment) are staged once per trial tile and held in VMEM for the
+    whole segment instead of being duplicated per read in the stream —
+    trading ``resident_tiles`` tiles of VMEM (taken from the pool) for
+    a smaller staged array and less stream bandwidth.
 
     Raises :class:`LogicError` only for structurally impossible inputs
     (no basics, a single gate wider than the pool or the stream rings).
@@ -151,13 +168,15 @@ def build_replay_schedule(tree: CompiledTree, brs_chunk: int = 256,
                          tree.top_index, brs_chunk, brs_bufs, grs_chunk,
                          grs_bufs, slab_bufs, slab_tiles,
                          max_ops_per_segment, pool_slots, hoist_events,
-                         n_refill_sems, n_flush_sems, vmem_budget)
+                         n_refill_sems, n_flush_sems, resident_tiles,
+                         vmem_budget)
 
 
 def _build_replay(gate_rows, n_basic, n_house, top_index, brs_chunk,
                   brs_bufs, grs_chunk, grs_bufs, slab_bufs, slab_tiles,
                   max_ops_per_segment, pool_slots, hoist_events,
-                  n_refill_sems, n_flush_sems, vmem_budget):
+                  n_refill_sems, n_flush_sems, resident_tiles,
+                  vmem_budget):
     if n_basic == 0:
         raise LogicError("replay schedule needs at least one basic event")
     n_b, n_h = n_basic, n_house
@@ -167,12 +186,34 @@ def _build_replay(gate_rows, n_basic, n_house, top_index, brs_chunk,
     n_segs = -(-n_ops // max_ops_per_segment)
     seg_of = lambda g: g // max_ops_per_segment  # noqa: E731
 
+    # Resident-basic selection (hybrid tier): basics read more often
+    # than once per segment earn a permanent VMEM tile — each such
+    # basic trades its per-read stream entries for one reload per
+    # segment, so the threshold is exactly the break-even point.
+    res_index: dict[int, int] = {}
+    res_pad = 0
+    res_cols = np.zeros(0, dtype=np.int64)
+    if resident_tiles > 0:
+        counts: dict[int, int] = {}
+        for row in exec_rows:
+            for a, _f in row[2]:
+                if a < n_b:
+                    counts[a] = counts.get(a, 0) + 1
+        worth = sorted(((cnt, c) for c, cnt in counts.items()
+                        if cnt > n_segs), reverse=True)
+        chosen = sorted(c for _cnt, c in worth[:resident_tiles])
+        if chosen:
+            res_index = {c: i for i, c in enumerate(chosen)}
+            res_pad = -(-len(chosen) // brs_chunk) * brs_chunk
+            res_cols = np.zeros(res_pad, dtype=np.int64)
+            res_cols[:len(chosen)] = chosen
+
     # Pool size from the VMEM budget.
     budget_tiles = vmem_budget // _TILE_BYTES
     ring_tiles = (brs_bufs * brs_chunk + grs_bufs * grs_chunk
                   + slab_bufs * slab_tiles)
     if pool_slots is None:
-        pool_slots = budget_tiles - ring_tiles
+        pool_slots = budget_tiles - ring_tiles - res_pad
     max_fanin = max((len(row[2]) for row in exec_rows), default=0)
     if pool_slots < max_fanin + 2:
         raise LogicError(
@@ -207,7 +248,7 @@ def _build_replay(gate_rows, n_basic, n_house, top_index, brs_chunk,
     use_ptr: dict[int, int] = {}
     E = 0                        # eviction event counter
     last_evict: dict[int, tuple[int, int]] = {}   # value -> (e, seg)
-    n_intra = n_inter = n_slab_reads = 0
+    n_intra = n_inter = n_slab_reads = n_resident_reads = 0
     last_barrier = 0
 
     evict_t: list[int] = []      # stream index of each eviction event
@@ -291,6 +332,12 @@ def _build_replay(gate_rows, n_basic, n_house, top_index, brs_chunk,
         sem_args = []
         for ai, (arg, flag) in enumerate(args):
             if arg < n_b:
+                if arg in res_index:
+                    loc = ("rbas", res_index[arg])
+                    sem_args.append((loc, flag))
+                    locs.append((loc, flag))
+                    n_resident_reads += 1
+                    continue
                 sem_args.append((("brs", len(brs_cols)), flag))
                 locs.append((("brs", len(brs_cols)), flag))
                 brs_cols.append(arg)
@@ -398,13 +445,17 @@ def _build_replay(gate_rows, n_basic, n_house, top_index, brs_chunk,
         pad = pad_cols[si][1]
         w += pad           # padding positions read column 0 (zeros OK)
         r += raw_len
-    brs_len_pad = len(brs_cols_arr)
-    if brs_len_pad == 0:   # pragma: no cover - n_basic>0 implies reads>0
-        brs_len_pad = brs_chunk
+    if len(brs_cols_arr) == 0 and res_pad == 0:
+        # pragma: no cover - n_basic>0 implies reads>0
         brs_cols_arr = np.zeros(brs_chunk, dtype=np.int64)
+    # The resident block rides as a chunk-aligned PREFIX of every
+    # trial-tile's staged rows (one gather stages both tiers), so the
+    # stream's chunk ids simply shift by res_pad // brs_chunk.
+    brs_cols_arr = np.concatenate([res_cols, brs_cols_arr])
+    brs_len_pad = len(brs_cols_arr)
 
     def brs_resolve(pos: int, si: int) -> tuple[int, int, int]:
-        p = pos + pos_offset[si]
+        p = pos + pos_offset[si] + res_pad
         chunk = p // brs_chunk
         return chunk, chunk % brs_bufs, p % brs_chunk
 
@@ -561,6 +612,12 @@ def _build_replay(gate_rows, n_basic, n_house, top_index, brs_chunk,
                 segments.append(ops)
                 ops = []
             cur_si = ev[1]
+            if res_pad:
+                # Resident-basic block load (VMEM does not survive the
+                # segment's pallas_call): one sequential chunk DMA of
+                # the staged prefix, landed before any gate runs.
+                ops.append(("rlstart",))
+                ops.append(("rlwait",))
         for c in bstarts_at.get(t, ()):
             ops.append(("bstart", c, c % brs_bufs))
         for c in gstarts_at.get(t, ()):
@@ -631,7 +688,7 @@ def _build_replay(gate_rows, n_basic, n_house, top_index, brs_chunk,
         wait_flush(fb)
     segments.append(ops)
 
-    vmem = (P + ring_tiles) * _TILE_BYTES
+    vmem = (P + ring_tiles + res_pad) * _TILE_BYTES
     if vmem > vmem_budget:   # pragma: no cover - sized from the budget
         raise LogicError(
             f"replay schedule needs {vmem} bytes VMEM "
@@ -646,13 +703,15 @@ def _build_replay(gate_rows, n_basic, n_house, top_index, brs_chunk,
     return ReplayProgram(
         segments=segments, brs_cols=brs_cols_arr,
         brs_len_pad=brs_len_pad, brs_chunk=brs_chunk, brs_bufs=brs_bufs,
+        res_tiles=res_pad,
         grs_rows=grs_rows_pad, grs_len=grs_len, grs_len_pad=grs_len_pad,
         grs_chunk=grs_chunk, grs_bufs=grs_bufs, pool_slots=P,
         slab_bufs=R, slab_tiles=S, n_flush_sems=n_flush_sems,
         n_refill_sems=n_refill_sems, scratch_rows=scratch_rows,
         top_slot=top_slot, nnz=nnz, n_ops=n_ops, n_basic=n_b,
         n_house=n_h, n_evicted=n_evicted, n_intra=n_intra,
-        n_inter=n_inter, n_slab_reads=n_slab_reads, trace=trace)
+        n_inter=n_inter, n_slab_reads=n_slab_reads,
+        n_resident_reads=n_resident_reads, trace=trace)
 
 
 # ---------------------------------------------------------------------------
@@ -675,6 +734,8 @@ def simulate_replay_program(program: ReplayProgram, basic_p: np.ndarray,
     one, two = f32(1.0), f32(2.0)
     basic = np.asarray(basic_p, dtype=f32)
     brs = basic[program.brs_cols]                      # the staged stream
+    rbas = np.full(max(program.res_tiles, 1), np.nan, f32)
+    pending_r: list[np.ndarray] = []
     bring = np.full((program.brs_bufs, program.brs_chunk), np.nan, f32)
     bring_chunk = [-1] * program.brs_bufs
     pending_b: dict[int, tuple[int, np.ndarray]] = {}
@@ -718,6 +779,13 @@ def simulate_replay_program(program: ReplayProgram, basic_p: np.ndarray,
             assert not np.isnan(v), \
                 f"read of undefined slab position {loc[1:]}"
             return v
+        if tag == "rbas":
+            assert not pending_r, \
+                "resident-basic read with the block load in flight"
+            v = rbas[loc[1]]
+            assert not np.isnan(v), \
+                f"read of unloaded resident basic {loc[1]}"
+            return v
         return f32(house[loc[1]])
 
     n_tiles_seen = 0
@@ -731,9 +799,15 @@ def simulate_replay_program(program: ReplayProgram, basic_p: np.ndarray,
             grs_cur = scratch[rows]
         # Slab does not survive the segment boundary.
         slab[:] = np.nan
+        rbas[:] = np.nan              # VMEM dies with the pallas_call
         for op in ops:
             tag = op[0]
-            if tag == "bstart":
+            if tag == "rlstart":
+                assert not pending_r
+                pending_r.append(brs[:program.res_tiles].copy())
+            elif tag == "rlwait":
+                rbas[:program.res_tiles] = pending_r.pop()
+            elif tag == "bstart":
                 c, buf = op[1], op[2]
                 assert buf not in pending_b, \
                     f"brs start overlaps pending on buf {buf}"
@@ -848,7 +922,7 @@ def simulate_replay_program(program: ReplayProgram, basic_p: np.ndarray,
                         dp = new[:cap] + [new[cap]]
                     value = f32(sum(dp[j] for j in range(lo, hi + 1)))
                 pool[out_slot] = value
-        assert not pending_b and not pending_g, \
+        assert not pending_b and not pending_g and not pending_r, \
             "stream DMA crosses a segment boundary"
         assert not pending_flush, "flush DMA crosses a segment boundary"
         assert not pending_refill, "refill DMA crosses a segment boundary"

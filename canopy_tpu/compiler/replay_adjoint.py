@@ -162,6 +162,10 @@ def build_replay_adjoint(tree, tct: int = 128, tape_bufs: int = 3,
             raise LogicError("replay adjoint: rings exhaust the VMEM "
                              "budget")
         replay_kwargs["pool_slots"] = pool
+    # The adjoint tapes every argument read, so the hybrid
+    # resident-basic tier buys nothing on this path — force it off (the
+    # backward has no cotangent route for ("rbas", ...) reads).
+    replay_kwargs["resident_tiles"] = 0
     program = build_replay_schedule(tree, **replay_kwargs)
     return _build_adjoint(program, tct, tape_bufs, tape_slab, gcot_bufs,
                           icot_bufs, inj_chunk, inj_bufs, side_cap,
@@ -201,6 +205,10 @@ def _build_adjoint(program: ReplayProgram, tct, tape_bufs, tape_slab,
                    max_bwd_ops: int = 12288) -> ReplayAdjointProgram:
     if program.trace is None:
         raise LogicError("replay adjoint needs a program with a trace")
+    if program.res_tiles:
+        raise LogicError("replay adjoint: build the base program with "
+                         "resident_tiles=0 (rbas reads have no "
+                         "cotangent route)")
     tr = program.trace
     intervals, gates = tr["intervals"], tr["gates"]
     P = program.pool_slots

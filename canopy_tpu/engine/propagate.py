@@ -264,9 +264,11 @@ def make_propagator(tree: CompiledTree, output: str = "top",
                                           fused_tiled_supported)
         from ..ops.stream_kernel import (compile_replay_stream,
                                          compile_spill_stream,
-                                         compile_stream, replay_propagate,
-                                         spill_propagate,
-                                         stream_propagate)
+                                         compile_stream,
+                                         replay_propagate_staged,
+                                         spill_propagate_staged,
+                                         stage_basic, stage_replay,
+                                         stream_propagate_staged)
 
         tiled_ok = fused_tiled_supported(tree)
         fused_ok = fused_supported(tree)
@@ -313,35 +315,81 @@ def make_propagator(tree: CompiledTree, output: str = "top",
                                  if tree.top_index is not None else tree)
                 return _cone[0]
 
+            # Staged engines get an identity-keyed single-entry staging
+            # cache: repeated calls on the SAME input array pay the
+            # input layout transform once and the kernel per call
+            # (measured on the 400k tree: staging 42.9 ms vs the replay
+            # kernel's 3.2 ms — VERDICT r4 item 4).  Caching is sound
+            # because jax arrays are immutable and the cache holds a
+            # reference (the id cannot be recycled while cached);
+            # tracers bypass the cache, so the dispatcher still works
+            # under an outer jit/vmap (staging inlines per trace).
+            def cached_staged(program, stage, run):
+                stage_j = jax.jit(stage)
+                run_j = jax.jit(run)
+                cache: dict = {}
+
+                def call(basic_p):
+                    if isinstance(basic_p, jax.core.Tracer):
+                        return run_j(stage_j(basic_p))
+                    key = (id(basic_p), basic_p.shape, basic_p.dtype)
+                    if cache.get("key") != key:
+                        cache["key"] = key
+                        cache["ref"] = basic_p
+                        cache["staged"] = stage_j(basic_p)
+                    return run_j(cache["staged"])
+                return call
+
+            stream_call = replay_call = spill_call = None
+            if program is not None:
+                stream_call = cached_staged(
+                    program, lambda p: stage_basic(program, p),
+                    lambda s: stream_propagate_staged(program, s, house))
+            if replay_program is not None:
+                replay_call = cached_staged(
+                    replay_program,
+                    lambda p: stage_replay(replay_program, p),
+                    lambda s: replay_propagate_staged(replay_program, s,
+                                                      house))
+            if spill_program is not None:
+                spill_call = cached_staged(
+                    spill_program,
+                    lambda p: stage_basic(spill_program, p),
+                    lambda s: spill_propagate_staged(spill_program, s,
+                                                     house))
+            tiled_j = jax.jit(lambda p: fused_propagate_tiled(
+                tree, p, house)) if tiled_ok else None
+            fused_j = jax.jit(lambda p: fused_propagate(tree, p, house)) \
+                if fused_ok else None
+            gather_j = jax.jit(lambda p: top_event_probability(
+                cone_tree(), p, jnp.asarray(house)))
+
             def fn(basic_p, house_states=None):
                 if house_states is not None:
                     raise ValueError(
                         "the auto-selected kernel engines bake house "
                         "states at build time; pass them to "
                         "make_propagator(house_states=...)")
-                # Static shapes under jit: full-VPU tiles when the
-                # trial count sits on the (8, 128) grid — whole tree
-                # resident if it fits, streamed through the VMEM pool
-                # otherwise — then the lane-row fused kernel, then
-                # gather.
+                # Static shapes: full-VPU tiles when the trial count
+                # sits on the (8, 128) grid — whole tree resident if it
+                # fits, streamed through the VMEM pool otherwise — then
+                # the lane-row fused kernel, then gather.
                 on_grid = basic_p.shape[0] % 1024 == 0
-                if tiled_ok and on_grid:
-                    return fused_propagate_tiled(tree, basic_p, house)
-                if program is not None and on_grid:
-                    return stream_propagate(program, basic_p, house)
-                if replay_program is not None and on_grid and \
+                if tiled_j is not None and on_grid:
+                    return tiled_j(basic_p)
+                if stream_call is not None and on_grid:
+                    return stream_call(basic_p)
+                if replay_call is not None and on_grid and \
                         (basic_p.shape[0] // 1024) \
                         * replay_program.brs_len_pad * 4096 \
                         <= _REPLAY_HBM_CAP:
-                    return replay_propagate(replay_program, basic_p,
-                                            house)
-                if spill_program is not None and on_grid:
-                    return spill_propagate(spill_program, basic_p, house)
-                if fused_ok:
-                    return fused_propagate(tree, basic_p, house)
-                return top_event_probability(cone_tree(), basic_p,
-                                             jnp.asarray(house))
-            return jax.jit(fn)
+                    return replay_call(basic_p)
+                if spill_call is not None and on_grid:
+                    return spill_call(basic_p)
+                if fused_j is not None:
+                    return fused_j(basic_p)
+                return gather_j(basic_p)
+            return fn
     if engine == "stream":
         from ..ops.stream_kernel import compile_stream, stream_propagate
 

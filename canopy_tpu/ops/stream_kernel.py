@@ -389,10 +389,11 @@ def _replay_kernel(brs_ref, grs_ref, scr_in, scr_out, *rest, program,
     residual intra-segment arcs pay single-tile refill DMAs.
     """
     if final:
-        top_ref, bring, gring, pool, slab, bsems, gsems, fsems, rsems, \
-            dsem = rest
+        top_ref, bring, gring, pool, slab, rbas, bsems, gsems, fsems, \
+            rsems, dsem, rlsem = rest
     else:
-        bring, gring, pool, slab, bsems, gsems, fsems, rsems, dsem = rest
+        bring, gring, pool, slab, rbas, bsems, gsems, fsems, rsems, \
+            dsem, rlsem = rest
     del scr_in  # Aliased with scr_out; one ref avoids ambiguity.
     i = pl.program_id(0)
     BL = program.brs_len_pad
@@ -428,6 +429,12 @@ def _replay_kernel(brs_ref, grs_ref, scr_in, scr_out, *rest, program,
     def load_copy():
         return pltpu.make_async_copy(scr.at[pl.ds(i * SR, P)], pool, dsem)
 
+    def rl_copy():
+        # Resident-basic block: the chunk-aligned staged PREFIX of this
+        # trial tile, one sequential DMA per segment.
+        return pltpu.make_async_copy(
+            brs_ref.at[pl.ds(i * BL, program.res_tiles)], rbas, rlsem)
+
     def read(loc):
         tag = loc[0]
         if tag == "pool":
@@ -438,11 +445,17 @@ def _replay_kernel(brs_ref, grs_ref, scr_in, scr_out, *rest, program,
             return gring[loc[1], loc[2]]
         if tag == "slab":
             return slab[loc[1], loc[2]]
+        if tag == "rbas":
+            return rbas[loc[1]]
         return jnp.full((8, 128), float(house[loc[1]]), dtype=jnp.float32)
 
     for op in seg_ops:
         tag = op[0]
-        if tag == "bstart":
+        if tag == "rlstart":
+            rl_copy().start()
+        elif tag == "rlwait":
+            rl_copy().wait()
+        elif tag == "bstart":
             b_copy(op[1], op[2]).start()
         elif tag == "bwait":
             b_copy(op[1], op[2]).wait()
@@ -523,6 +536,28 @@ def replay_grad_basic(program, g_brs: jnp.ndarray,
     return out.at[:, cols].add(g)
 
 
+def unstage_replay(program, brs: jnp.ndarray,
+                   n_trials: int) -> jnp.ndarray:
+    """Reconstruct ``(n_trials, n_basic)`` from a staged replay stream.
+
+    The stream duplicates one entry per *read*, so reconstruction takes
+    each basic's first occurrence (all occurrences carry identical
+    values by construction).  Basics the cone never reads come back as
+    zero — they cannot affect the top value (they only feed gates
+    outside the scheduled cone).  Used by the data-parallel plumbing's
+    jnp reference local (``parallel/quantify.sharded_replay_step``).
+    """
+    n_tiles = n_trials // _TILE_TRIALS
+    BL = program.brs_len_pad
+    cols = np.asarray(program.brs_cols)
+    uniq, first = np.unique(cols, return_index=True)
+    b4 = brs.reshape(n_tiles, BL, 8, 128)
+    picked = b4[:, jnp.asarray(first)]               # (n_tiles, U, 8, 128)
+    vals = picked.transpose(1, 0, 2, 3).reshape(len(uniq), n_trials).T
+    out = jnp.zeros((n_trials, program.n_basic), brs.dtype)
+    return out.at[:, jnp.asarray(uniq)].set(vals)
+
+
 def replay_propagate(program, basic_p: jnp.ndarray,
                      house_states: np.ndarray | jnp.ndarray,
                      interpret: bool = False) -> jnp.ndarray:
@@ -558,10 +593,12 @@ def replay_propagate_staged(program, brs: jnp.ndarray,
         pltpu.VMEM((max(program.pool_slots, 1), 8, 128), jnp.float32),
         pltpu.VMEM((program.slab_bufs, program.slab_tiles, 8, 128),
                    jnp.float32),
+        pltpu.VMEM((max(program.res_tiles, 1), 8, 128), jnp.float32),
         pltpu.SemaphoreType.DMA((program.brs_bufs,)),
         pltpu.SemaphoreType.DMA((program.grs_bufs,)),
         pltpu.SemaphoreType.DMA((program.n_flush_sems,)),
         pltpu.SemaphoreType.DMA((program.n_refill_sems,)),
+        pltpu.SemaphoreType.DMA(()),
         pltpu.SemaphoreType.DMA(()),
     ]
     top = None

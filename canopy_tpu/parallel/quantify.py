@@ -38,7 +38,7 @@ from ..errors import LogicError
 
 __all__ = ["sharded_stream_grad_step",
            "sharded_uncertainty_step", "sharded_cutset_quantifier",
-           "sharded_stream_step"]
+           "sharded_stream_step", "sharded_replay_step"]
 
 
 def sharded_uncertainty_step(tree: CompiledTree, mesh: Mesh):
@@ -162,6 +162,52 @@ def sharded_stream_step(program, mesh: Mesh,
         # Shard boundaries must align with per-trial-tile blocks of the
         # staged layout (each block is n_basic_pad rows).
         assert (staged.shape[0] // n_dev) % nbp == 0
+        return sharded(staged)
+
+    return step
+
+
+def sharded_replay_step(program, mesh: Mesh,
+                        house_states: np.ndarray,
+                        interpret: bool = False,
+                        _local_override=None):
+    """Data-parallel replay-stream propagation: jitted
+    ``(basic_p_batch) -> per-trial top probabilities``.
+
+    The flagship big-THRASHING-tree engine (``compiler/replay.py``)
+    under explicit ``shard_map``: staging (``stage_replay`` — one GSPMD
+    gather over the sharded trials axis) lays the per-read basic stream
+    out per trial tile, each device streams its own tile blocks through
+    its VMEM pool + slab ring, and the per-trial outputs concatenate —
+    pure data parallelism, no collectives.  Same tile-alignment
+    contract as :func:`sharded_stream_step`; shard boundaries align
+    with per-trial-tile blocks of ``brs_len_pad`` rows.
+    """
+    from ..ops.stream_kernel import replay_propagate_staged, stage_replay
+
+    axes = tuple(mesh.axis_names)
+    n_dev = int(mesh.devices.size)
+    blp = program.brs_len_pad
+
+    def local(staged_local):
+        return replay_propagate_staged(program, staged_local,
+                                       house_states, interpret=interpret)
+
+    if _local_override is not None:  # Testing hook (sharding plumbing).
+        local = _local_override
+
+    sharded = shard_map(local, mesh=mesh, in_specs=P(axes, None, None),
+                        out_specs=P(axes), check_vma=False)
+
+    @jax.jit
+    def step(basic_p):
+        n_trials = basic_p.shape[0]
+        if n_trials % (1024 * n_dev):
+            raise LogicError(
+                f"sharded replay step needs n_trials % "
+                f"{1024 * n_dev} == 0 (whole tiles per device)")
+        staged = stage_replay(program, basic_p)
+        assert (staged.shape[0] // n_dev) % blp == 0
         return sharded(staged)
 
     return step

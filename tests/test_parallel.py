@@ -176,6 +176,80 @@ class TestShardedStream:
             step(jnp.zeros((1024, tree.n_basic), jnp.float32))
 
 
+class TestShardedReplay:
+    """Data-parallel replay engine (the thrashing-tree flagship)."""
+
+    def _program(self):
+        from canopy_tpu.compiler.replay import build_replay_schedule
+        from canopy_tpu.utils.synthetic import synthetic_compiled_tree
+        tree = synthetic_compiled_tree(n_basic=96, n_gates=900, fanin=4,
+                                       n_levels=10, seed=7)
+        program = build_replay_schedule(
+            tree, pool_slots=12, slab_bufs=3, slab_tiles=8, brs_chunk=16,
+            brs_bufs=3, grs_chunk=8, grs_bufs=2, max_ops_per_segment=150)
+        assert program.n_evicted > 0
+        return tree, program
+
+    def test_replay_kernel_through_shard_map_one_device(self):
+        from jax.sharding import Mesh
+        from canopy_tpu.parallel.quantify import sharded_replay_step
+
+        tree, program = self._program()
+        mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                    ("data", "model"))
+        rng = np.random.default_rng(5)
+        basic = jnp.asarray(
+            rng.uniform(0.0, 0.3, (1024, tree.n_basic)), jnp.float32)
+        house = tree.house_state_vector()
+        step = sharded_replay_step(program, mesh, house, interpret=True)
+        got = np.asarray(step(basic))
+        want = np.asarray(
+            top_event_probability(tree, basic, jnp.asarray(house)),
+            np.float32)
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-7)
+
+    def test_sharding_plumbing_eight_devices(self):
+        from canopy_tpu.ops.stream_kernel import unstage_replay
+        from canopy_tpu.parallel.quantify import sharded_replay_step
+
+        tree, program = self._program()
+        mesh = make_mesh()
+        house = tree.house_state_vector()
+        blp = program.brs_len_pad
+
+        def reference_local(staged_local):
+            t_local = staged_local.shape[0] // blp * 1024
+            p_local = unstage_replay(program, staged_local, t_local)
+            return top_event_probability(
+                tree, p_local, jnp.asarray(house)).astype(jnp.float32)
+
+        step = sharded_replay_step(program, mesh, house,
+                                   _local_override=reference_local)
+        rng = np.random.default_rng(7)
+        basic = jnp.asarray(
+            rng.uniform(0.0, 0.3, (1024 * 8, tree.n_basic)), jnp.float32)
+        got = np.asarray(step(basic))
+        want = np.asarray(
+            top_event_probability(tree, basic, jnp.asarray(house)),
+            np.float32)
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-7)
+
+    def test_unstage_replay_roundtrip(self):
+        from canopy_tpu.ops.stream_kernel import stage_replay, unstage_replay
+
+        tree, program = self._program()
+        rng = np.random.default_rng(3)
+        basic = jnp.asarray(
+            rng.uniform(0.0, 0.3, (2048, tree.n_basic)), jnp.float32)
+        brs = stage_replay(program, basic)
+        recon = np.asarray(unstage_replay(program, brs, 2048))
+        cols = np.unique(np.asarray(program.brs_cols))
+        np.testing.assert_array_equal(recon[:, cols],
+                                      np.asarray(basic)[:, cols])
+        unread = np.setdiff1d(np.arange(tree.n_basic), cols)
+        assert not recon[:, unread].any()
+
+
 class TestShardedStreamGrad:
     def test_adjoint_kernel_through_shard_map_one_device(self):
         # Real adjoint kernels (taped forward + reversed backward)

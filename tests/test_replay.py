@@ -74,6 +74,65 @@ class TestReplaySchedule:
         program = build_replay_schedule(tree, **THRASH)
         _simulate_vs_gather(tree, program, seed=seed)
 
+    @pytest.mark.parametrize("resident", [4, 16, 64])
+    def test_hybrid_resident_basics(self, resident):
+        """The hybrid basic tier (VERDICT r4 item 5): high-reuse basics
+        ride a per-segment resident block instead of per-read stream
+        duplication — bit-exact, with the staged array measurably
+        smaller."""
+        tree = synthetic_compiled_tree(n_basic=96, n_gates=900, fanin=4,
+                                       n_levels=10, seed=0)
+        base = build_replay_schedule(tree, **THRASH)
+        cfg = dict(THRASH)
+        program = build_replay_schedule(tree, resident_tiles=resident,
+                                        **cfg)
+        assert program.res_tiles > 0
+        assert program.n_resident_reads > 0
+        # Every resident basic removes (reads - n_segs) stream entries.
+        assert program.brs_len_pad < base.brs_len_pad
+        _simulate_vs_gather(tree, program)
+
+    def test_hybrid_resident_interpret_kernel(self):
+        from canopy_tpu.ops.stream_kernel import replay_propagate
+        tree = synthetic_compiled_tree(n_basic=96, n_gates=900, fanin=4,
+                                       n_levels=10, seed=0)
+        program = build_replay_schedule(tree, resident_tiles=32, **THRASH)
+        assert program.res_tiles > 0 and program.n_resident_reads > 0
+        rng = np.random.default_rng(0)
+        p = jnp.asarray(rng.uniform(0.0, 0.3, (1024, tree.n_basic)),
+                        jnp.float32)
+        house = np.zeros(0, np.float32)
+        got = np.asarray(replay_propagate(program, p, house,
+                                          interpret=True))
+        ref = np.asarray(top_event_probability(tree, p,
+                                               jnp.asarray(house)))
+        assert np.array_equal(got, ref)
+
+    def test_hybrid_resident_threshold(self):
+        """Basics read fewer times than the segment count stay in the
+        stream (the per-segment reload would cost more than it saves)."""
+        tree = synthetic_compiled_tree(n_basic=96, n_gates=900, fanin=4,
+                                       n_levels=10, seed=0)
+        program = build_replay_schedule(tree, resident_tiles=10_000,
+                                        **THRASH)
+        n_segs = len(program.segments)
+        res_cols = set(np.asarray(
+            program.brs_cols[:program.res_tiles]).tolist())
+        counts: dict[int, int] = {}
+        rest = [op for seg in program.segments for op in seg]
+        # Count reads per basic from the routed locs + resident reads.
+        for op in rest:
+            if op[0] != "gate":
+                continue
+        # Reconstruct per-basic totals from the trace instead.
+        for rec in program.trace["gates"]:
+            for loc, _f in rec["args"]:
+                if loc[0] == "rbas":
+                    c = int(program.brs_cols[loc[1]])
+                    counts[c] = counts.get(c, 0) + 1
+        for c, cnt in counts.items():
+            assert c in res_cols and cnt > n_segs
+
     @pytest.mark.parametrize("pool,slab_bufs,slab_tiles,seg,hoist", [
         (12, 2, 4, 64, 0), (16, 4, 4, 100, 16), (24, 3, 8, 5000, 8)])
     def test_schedule_parameter_sweep(self, pool, slab_bufs, slab_tiles,
