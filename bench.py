@@ -61,6 +61,103 @@ if os.environ.get("BENCH_COMPILE_CACHE", "1") == "1":
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".jax_cache"))
 
+def _code_hash() -> str:
+    """Hash of every package source file + this file: host-cache keys
+    embed it, so ANY code change invalidates cached build products
+    (stale schedules must never produce numbers)."""
+    import hashlib
+    h = hashlib.sha256()
+    root = os.path.dirname(os.path.abspath(__file__))
+    files = [os.path.abspath(__file__)]
+    for dirpath, _dirs, names in os.walk(os.path.join(root,
+                                                      "canopy_tpu")):
+        files += [os.path.join(dirpath, n) for n in sorted(names)
+                  if n.endswith(".py")]
+    for path in sorted(files):
+        with open(path, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:12]
+
+
+_CODE_HASH = None
+
+
+def host_cached(key: str, builder):
+    """Pickle-cache deterministic host-side build products (synthetic
+    trees, replay/spill/adjoint schedules) next to the XLA compile
+    cache.  Schedule building is pure Python and costs minutes at
+    1M-gate scale — a warmed cache lets the driver's run spend its
+    window on measurements.  Keys embed a hash of all package sources;
+    BENCH_HOST_CACHE=0 disables."""
+    global _CODE_HASH
+    import pickle
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not cache_dir or os.environ.get("BENCH_HOST_CACHE", "1") != "1":
+        return builder()
+    if _CODE_HASH is None:
+        _CODE_HASH = _code_hash()
+    host_dir = os.path.join(cache_dir, "host")
+    os.makedirs(host_dir, exist_ok=True)
+    path = os.path.join(host_dir, f"{key}-{_CODE_HASH}.pkl")
+    if os.path.exists(path):
+        t0 = time.perf_counter()
+        with open(path, "rb") as fh:
+            obj = pickle.load(fh)
+        print(f"bench: host-cache hit {key} "
+              f"({time.perf_counter()-t0:.1f}s load)", file=sys.stderr)
+        return obj
+    t0 = time.perf_counter()
+    obj = builder()
+    try:
+        with open(path, "wb") as fh:
+            pickle.dump(obj, fh, protocol=pickle.HIGHEST_PROTOCOL)
+        print(f"bench: host-cache MISS {key} "
+              f"(built {time.perf_counter()-t0:.0f}s)", file=sys.stderr)
+    except Exception as exc:           # unpicklable: build-only
+        print(f"bench: host-cache skip {key}: {exc}", file=sys.stderr)
+    return obj
+
+
+def exported_cached(key: str, fn, *example_args):
+    """Cache a jitted function as a serialized ``jax.export`` blob.
+
+    Host TRACING is the warm-run bottleneck for the straight-line
+    kernel sections (the 16k replay-adjoint section spends ~8 min
+    re-tracing per process even with every XLA compile cached).  A
+    serialized export skips tracing entirely: measured on the tunneled
+    TPU, a 4k-gate replay chain went 71.3 s (trace+compile) -> 2.2 s
+    (deserialize + compile-cache hit) in a fresh process.  Keys embed
+    the package source hash (stale executables must never produce
+    numbers); output pytrees are preserved by ``exp.call``.
+    ``BENCH_EXPORT_CACHE=0`` disables.
+    """
+    global _CODE_HASH
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not cache_dir or os.environ.get("BENCH_EXPORT_CACHE", "1") != "1":
+        return fn
+    import jax
+    if _CODE_HASH is None:
+        _CODE_HASH = _code_hash()
+    d = os.path.join(cache_dir, "exported")
+    os.makedirs(d, exist_ok=True)
+    # Exports carry platform lowering — a CPU-smoke export must never
+    # be loaded by a TPU run (and vice versa).
+    backend = jax.default_backend()
+    path = os.path.join(d, f"{key}-{backend}-{_CODE_HASH}.bin")
+    if os.path.exists(path):
+        with open(path, "rb") as fh:
+            exp = jax.export.deserialize(fh.read())
+        print(f"bench: export-cache hit {key}", file=sys.stderr)
+        return exp.call
+    t0 = time.perf_counter()
+    exp = jax.export.export(fn)(*example_args)
+    with open(path, "wb") as fh:
+        fh.write(exp.serialize())
+    print(f"bench: export-cache MISS {key} "
+          f"(traced {time.perf_counter()-t0:.0f}s)", file=sys.stderr)
+    return exp.call
+
+
 #: Best previously captured value per section (BENCH_r04 artifact where
 #: present, else the r4 full-bench rehearsal) — the per-section
 #: plausibility cap is 3x this, far tighter than the roofline-multiple
@@ -388,21 +485,29 @@ def sec_adjoint(rng, dtype, roofline):
 
     adj_basics = int(os.environ.get("BENCH_ADJ_BASICS", "65536"))
     adj_trials = 1024
-    tree_a = synthetic_hierarchical_tree(
-        n_basic=adj_basics, branching=8, share_fraction=0.1,
-        n_shared=128, seed=0)
-    program_a = compile_stream(tree_a)
-    aprog_a = compile_adjoint(program_a)
+    tree_a = host_cached(
+        f"hier-{adj_basics}b-s128",
+        lambda: synthetic_hierarchical_tree(
+            n_basic=adj_basics, branching=8, share_fraction=0.1,
+            n_shared=128, seed=0))
+    program_a = host_cached(f"stream-{adj_basics}b-s128",
+                            lambda: compile_stream(tree_a))
+    aprog_a = host_cached(f"adjoint-{adj_basics}b-s128",
+                          lambda: compile_adjoint(program_a))
     house_a = np.zeros(0, np.float32)
     f_a = make_differentiable_stream(aprog_a, house_a)
     basic_a = jnp.asarray(
         rng.uniform(0.0, 0.05, (adj_trials, tree_a.n_basic)), dtype)
     staged_a = jax.jit(lambda p: stage_basic(program_a, p))(basic_a)
 
-    grad_stream = jax.jit(jax.value_and_grad(lambda s: f_a(s).sum()))
-    grad_gather = jax.jit(jax.value_and_grad(
-        lambda p: top_event_probability(
-            tree_a, p, jnp.asarray(house_a)).sum()))
+    grad_stream = exported_cached(
+        f"grad-stream-{adj_basics}b",
+        jax.jit(jax.value_and_grad(lambda s: f_a(s).sum())), staged_a)
+    grad_gather = exported_cached(
+        f"grad-gather-{adj_basics}b",
+        jax.jit(jax.value_and_grad(
+            lambda p: top_event_probability(
+                tree_a, p, jnp.asarray(house_a)).sum())), basic_a)
 
     # Identical anti-hoisting on both sides: carry the input, perturb
     # one tile/column per iteration (a few KB — does not mask either
@@ -431,6 +536,10 @@ def sec_adjoint(rng, dtype, roofline):
                                    (jnp.asarray(0.0, dtype), p))
         return acc
 
+    repeat_gs = exported_cached(f"rep-adj-stream-{adj_basics}b",
+                                repeat_gs, staged_a, 2)
+    repeat_gg = exported_cached(f"rep-adj-gather-{adj_basics}b",
+                                repeat_gg, basic_a, 2)
     a_iters = int(os.environ.get("BENCH_ADJ_ITERS", "64"))
     as_dt, a_iters = measure(
         lambda n: _best3(repeat_gs, staged_a, n), a_iters,
@@ -466,10 +575,13 @@ def sec_stream(rng, dtype, roofline):
 
     s_basics = int(os.environ.get("BENCH_STREAM_BASICS", "65536"))
     s_trials = int(os.environ.get("BENCH_STREAM_TRIALS", "2048"))
-    tree_s = synthetic_hierarchical_tree(
-        n_basic=s_basics, branching=8, share_fraction=0.1,
-        n_shared=256, seed=0)
-    program_s = compile_stream(tree_s)
+    tree_s = host_cached(
+        f"hier-{s_basics}b-s256",
+        lambda: synthetic_hierarchical_tree(
+            n_basic=s_basics, branching=8, share_fraction=0.1,
+            n_shared=256, seed=0))
+    program_s = host_cached(f"stream-{s_basics}b-s256",
+                            lambda: compile_stream(tree_s))
     basic_s = jnp.asarray(
         rng.uniform(0.0, 0.05, (s_trials, tree_s.n_basic)), dtype)
     staged = jax.jit(lambda p: stage_basic(program_s, p))(basic_s)
@@ -487,6 +599,8 @@ def sec_stream(rng, dtype, roofline):
                                    (jnp.asarray(0.0, dtype), s))
         return acc
 
+    repeat_stream = exported_cached(f"rep-stream-{s_basics}b",
+                                    repeat_stream, staged, 2)
     s_iters = int(os.environ.get("BENCH_STREAM_ITERS", "256"))
     s_dt, s_iters = measure(
         lambda n: _best3(repeat_stream, staged, n), s_iters,
@@ -519,9 +633,13 @@ def sec_replay(rng, dtype, roofline, fanin):
 
     rp_gates = int(os.environ.get("BENCH_REPLAY_GATES", "65536"))
     rp_trials = int(os.environ.get("BENCH_REPLAY_TRIALS", "4096"))
-    tree_rp = synthetic_compiled_tree(n_basic=8192, n_gates=rp_gates,
-                                      fanin=fanin, n_levels=14, seed=0)
-    program_rp = build_replay_schedule(tree_rp)
+    tree_rp = host_cached(
+        f"tree-{rp_gates}g-f{fanin}",
+        lambda: synthetic_compiled_tree(n_basic=8192, n_gates=rp_gates,
+                                        fanin=fanin, n_levels=14,
+                                        seed=0))
+    program_rp = host_cached(f"replay-{rp_gates}g-f{fanin}",
+                             lambda: build_replay_schedule(tree_rp))
     basic_rp = jnp.asarray(
         rng.uniform(0.0, 0.05, (rp_trials, tree_rp.n_basic)), dtype)
     brs = jax.jit(lambda p: stage_replay(program_rp, p))(basic_rp)
@@ -539,12 +657,18 @@ def sec_replay(rng, dtype, roofline, fanin):
                                    (jnp.asarray(0.0, dtype), b))
         return acc
 
+    repeat_replay = exported_cached(
+        f"rep-replay-{rp_gates}g-T{rp_trials}", repeat_replay, brs, 2)
+
     # Correctness on hardware FIRST (jitted: eager level evaluation of
     # the 65k gather reference materializes per-level (G, F, T) gather
     # intermediates and OOMs next to the timing executables), then the
     # check arrays are dropped before the timing loop compiles.
-    check = np.asarray(jax.jit(lambda b: replay_propagate_staged(
-        program_rp, b, house_rp))(brs))
+    check_fn = exported_cached(
+        f"check-replay-{rp_gates}g-T{rp_trials}",
+        jax.jit(lambda b: replay_propagate_staged(
+            program_rp, b, house_rp)), brs)
+    check = np.asarray(check_fn(brs))
     ref = np.asarray(jax.jit(lambda p: top_event_probability(
         tree_rp, p, jnp.asarray(house_rp)))(basic_rp), np.float32)
     rel = float(np.max(np.abs(check - ref) / np.maximum(ref, 1e-30)))
@@ -590,9 +714,13 @@ def sec_spill(rng, dtype, roofline, fanin):
 
     sp_gates = int(os.environ.get("BENCH_SPILL_GATES", "65536"))
     sp_trials = int(os.environ.get("BENCH_SPILL_TRIALS", "4096"))
-    tree_sp = synthetic_compiled_tree(n_basic=8192, n_gates=sp_gates,
-                                      fanin=fanin, n_levels=14, seed=0)
-    program_sp = build_spill_schedule(tree_sp)
+    tree_sp = host_cached(
+        f"tree-{sp_gates}g-f{fanin}",
+        lambda: synthetic_compiled_tree(n_basic=8192, n_gates=sp_gates,
+                                        fanin=fanin, n_levels=14,
+                                        seed=0))
+    program_sp = host_cached(f"spill-{sp_gates}g-f{fanin}",
+                             lambda: build_spill_schedule(tree_sp))
     basic_sp = jnp.asarray(
         rng.uniform(0.0, 0.05, (sp_trials, tree_sp.n_basic)), dtype)
     staged_sp = jax.jit(lambda p: stage_basic(program_sp, p))(basic_sp)
@@ -610,6 +738,8 @@ def sec_spill(rng, dtype, roofline, fanin):
                                    (jnp.asarray(0.0, dtype), s))
         return acc
 
+    repeat_spill = exported_cached(f"rep-spill-{sp_gates}g",
+                                   repeat_spill, staged_sp, 2)
     sp_iters = int(os.environ.get("BENCH_SPILL_ITERS", "64"))
     sp_dt, sp_iters = measure(
         lambda n: _best3(repeat_spill, staged_sp, n), sp_iters,
@@ -630,8 +760,10 @@ def sec_spill(rng, dtype, roofline, fanin):
     # Correctness on hardware: one batch vs the gather engine (same
     # tree, same house vector; jitted to keep level intermediates
     # fused).
-    check = np.asarray(jax.jit(lambda s: spill_propagate_staged(
-        program_sp, s, house_sp))(staged_sp))
+    check = np.asarray(exported_cached(
+        f"check-spill-{sp_gates}g",
+        jax.jit(lambda s: spill_propagate_staged(
+            program_sp, s, house_sp)), staged_sp)(staged_sp))
     ref = np.asarray(jax.jit(lambda p: top_event_probability(
         tree_sp, p, jnp.asarray(house_sp)))(basic_sp), np.float32)
     rel = float(np.max(np.abs(check - ref) / np.maximum(ref, 1e-30)))
@@ -665,9 +797,14 @@ def sec_replay_adjoint(rng, dtype, roofline, fanin):
 
     ra_gates = int(os.environ.get("BENCH_RADJ_GATES", "16384"))
     ra_trials = 1024
-    tree_ra = synthetic_compiled_tree(n_basic=8192, n_gates=ra_gates,
-                                      fanin=fanin, n_levels=14, seed=0)
-    aprog = build_replay_adjoint(tree_ra, max_ops_per_segment=2048)
+    tree_ra = host_cached(
+        f"tree-{ra_gates}g-f{fanin}",
+        lambda: synthetic_compiled_tree(n_basic=8192, n_gates=ra_gates,
+                                        fanin=fanin, n_levels=14,
+                                        seed=0))
+    aprog = host_cached(
+        f"radj-{ra_gates}g-f{fanin}-s2048",
+        lambda: build_replay_adjoint(tree_ra, max_ops_per_segment=2048))
     b = aprog.base
     house_ra = np.zeros(0, np.float32)
     f_ra = make_differentiable_replay(aprog, house_ra)
@@ -699,6 +836,9 @@ def sec_replay_adjoint(rng, dtype, roofline, fanin):
                                    (jnp.asarray(0.0, dtype), p))
         return acc
 
+    rep_s = exported_cached(f"rep-radj-{ra_gates}g", rep_s, brs_ra, 2)
+    rep_g = exported_cached(f"rep-radj-gather-{ra_gates}g", rep_g,
+                            basic_ra, 2)
     ra_iters = int(os.environ.get("BENCH_RADJ_ITERS", "32"))
     s_dt, ra_iters = measure(
         lambda n: _best3(rep_s, brs_ra, n), ra_iters,
@@ -709,19 +849,28 @@ def sec_replay_adjoint(rng, dtype, roofline, fanin):
         name="gather-autodiff-on-thrash", work=b.nnz * ra_trials,
         roofline=roofline)
     # Gradient agreement on hardware.
-    v_s, g_s = jax.jit(jax.value_and_grad(
-        lambda s: f_ra(s).sum()))(brs_ra)
-    v_g, g_g = jax.jit(jax.value_and_grad(
-        lambda x: top_event_probability(
-            tree_ra, x, jnp.asarray(house_ra)).sum()))(basic_ra)
+    v_s, g_s = exported_cached(
+        f"grad-radj-{ra_gates}g",
+        jax.jit(jax.value_and_grad(
+            lambda s: f_ra(s).sum())), brs_ra)(brs_ra)
+    v_g, g_g = exported_cached(
+        f"grad-radj-gather-{ra_gates}g",
+        jax.jit(jax.value_and_grad(
+            lambda x: top_event_probability(
+                tree_ra, x, jnp.asarray(house_ra)).sum())),
+        basic_ra)(basic_ra)
     gb = np.asarray(replay_grad_basic(b, g_s, ra_trials))
     gg = np.asarray(g_g)
     rel = float(np.max(np.abs(gb - gg))) / max(float(np.max(np.abs(gg))),
                                                1e-300)
-    _record("replay-adjoint-vjp", b.nnz * ra_trials / s_dt,
+    suffix = "" if ra_gates == 16384 else f"-{ra_gates // 1024}k"
+    _record(f"replay-adjoint-vjp{suffix}", b.nnz * ra_trials / s_dt,
             "nnz*trials/s fwd+bwd", s_dt, ra_iters)
-    _record("gather-autodiff-on-thrash", b.nnz * ra_trials / g_dt,
+    _record(f"gather-autodiff-on-thrash{suffix}",
+            b.nnz * ra_trials / g_dt,
             "nnz*trials/s fwd+bwd", g_dt, g_iters)
+    _sections[f"replay-adjoint-vjp{suffix}"]["speedup_vs_gather"] = \
+        round(g_dt / s_dt, 2)
     print(f"bench[replay-adjoint {tree_ra.n_gates}g thrash]: fwd+bwd "
           f"{s_dt*1e3:.3f} ms/iter vs gather autodiff "
           f"{g_dt*1e3:.2f} ms/iter -> {g_dt/s_dt:.1f}x "
@@ -741,8 +890,11 @@ def sec_config3(rng, dtype, roofline, fanin):
 
     m_gates = int(os.environ.get("BENCH_M_GATES", "1000000"))
     m_trials = int(os.environ.get("BENCH_M_TRIALS", "1024"))
-    tree_m = synthetic_compiled_tree(n_basic=65536, n_gates=m_gates,
-                                     fanin=fanin, n_levels=14, seed=0)
+    tree_m = host_cached(
+        f"tree1m-{m_gates}g-f{fanin}",
+        lambda: synthetic_compiled_tree(n_basic=65536, n_gates=m_gates,
+                                        fanin=fanin, n_levels=14,
+                                        seed=0))
     fn_m, params_m = make_param_propagator(tree_m)
     params_m = jax.device_put(params_m)
     basic_m = jnp.asarray(
@@ -759,6 +911,8 @@ def sec_config3(rng, dtype, roofline, fanin):
                                    (jnp.asarray(0.0, dtype), p))
         return acc
 
+    repeat_m = exported_cached(f"rep-config3-{m_gates}g", repeat_m,
+                               params_m, basic_m, 2)
     m_iters = int(os.environ.get("BENCH_M_ITERS", "8"))
     m_dt, m_iters = measure(
         lambda n: _best3(repeat_m, params_m, basic_m, n), m_iters,
@@ -788,9 +942,13 @@ def sec_replay_config3(rng, dtype, roofline, fanin):
 
     rc_gates = int(os.environ.get("BENCH_RC3_GATES", "1000000"))
     rc_trials = int(os.environ.get("BENCH_RC3_TRIALS", "1024"))
-    tree_rc = synthetic_compiled_tree(n_basic=65536, n_gates=rc_gates,
-                                      fanin=fanin, n_levels=14, seed=0)
-    program_rc = build_replay_schedule(tree_rc)
+    tree_rc = host_cached(
+        f"tree1m-{rc_gates}g-f{fanin}",
+        lambda: synthetic_compiled_tree(n_basic=65536, n_gates=rc_gates,
+                                        fanin=fanin, n_levels=14,
+                                        seed=0))
+    program_rc = host_cached(f"replay-cfg3-{rc_gates}g-f{fanin}",
+                             lambda: build_replay_schedule(tree_rc))
     basic_rc = jnp.asarray(
         rng.uniform(0.0, 0.05, (rc_trials, tree_rc.n_basic)), dtype)
     brs_rc = jax.jit(lambda p: stage_replay(program_rc, p))(basic_rc)
@@ -808,6 +966,8 @@ def sec_replay_config3(rng, dtype, roofline, fanin):
                                    (jnp.asarray(0.0, dtype), b))
         return acc
 
+    repeat_rc = exported_cached(f"rep-rc3-{rc_gates}g", repeat_rc,
+                                brs_rc, 2)
     rc_iters = int(os.environ.get("BENCH_RC3_ITERS", "256"))
     rc_dt, rc_iters = measure(
         lambda n: _best3(repeat_rc, brs_rc, n), rc_iters,
@@ -842,15 +1002,20 @@ def sec_auto400k(rng, dtype, roofline, fanin):
 
     au_gates = int(os.environ.get("BENCH_AUTO_GATES", "400000"))
     au_trials = int(os.environ.get("BENCH_AUTO_TRIALS", "2048"))
-    tree_au = synthetic_compiled_tree(n_basic=8192, n_gates=au_gates,
-                                      fanin=fanin, n_levels=14, seed=0)
+    tree_au = host_cached(
+        f"tree-{au_gates}g-f{fanin}",
+        lambda: synthetic_compiled_tree(n_basic=8192, n_gates=au_gates,
+                                        fanin=fanin, n_levels=14,
+                                        seed=0))
     basic_au = jnp.asarray(
         rng.uniform(0.0, 0.05, (au_trials, tree_au.n_basic)), dtype)
     fn = make_propagator(tree_au)          # auto: routes to replay
 
     # Staged-kernel reference on the same program (chained fori_loop —
     # the only honest sub-ms timing through the tunnel).
-    program_au = compile_replay_stream(tree_au)
+    program_au = host_cached(
+        f"replay-{au_gates}g-f{fanin}",
+        lambda: compile_replay_stream(tree_au))
     house_au = np.zeros(0, np.float32)
     brs_au = jax.jit(lambda p: stage_replay(program_au, p))(basic_au)
 
@@ -866,6 +1031,8 @@ def sec_auto400k(rng, dtype, roofline, fanin):
                                    (jnp.asarray(0.0, dtype), b))
         return acc
 
+    repeat_au = exported_cached(f"rep-auto-{au_gates}g", repeat_au,
+                                brs_au, 2)
     k_iters = int(os.environ.get("BENCH_AUTO_ITERS", "128"))
     k_dt, k_iters = measure(
         lambda n: _best3(repeat_au, brs_au, n), k_iters,
@@ -951,6 +1118,8 @@ def sec_bdd_stream(rng, dtype, roofline):
                                    (jnp.asarray(0.0, dtype), s))
         return acc
 
+    repeat_bdd = exported_cached(f"rep-bdd-{bdd_b.n_nodes}n",
+                                 repeat_bdd, staged_b, 2)
     b_iters = int(os.environ.get("BENCH_BDD_ITERS", "1024"))
     # Sub-ms kernel: plausibility-cap in quantifications/s terms only
     # (span check still applies).
@@ -1241,8 +1410,11 @@ def _base_params():
 
 def _big_tree(n_gates, fanin):
     from canopy_tpu.utils.synthetic import synthetic_compiled_tree
-    return synthetic_compiled_tree(n_basic=8192, n_gates=n_gates,
-                                   fanin=fanin, n_levels=14, seed=0)
+    return host_cached(
+        f"tree-{n_gates}g-f{fanin}",
+        lambda: synthetic_compiled_tree(n_basic=8192, n_gates=n_gates,
+                                        fanin=fanin, n_levels=14,
+                                        seed=0))
 
 
 def _runner(name):
@@ -1281,6 +1453,14 @@ def _runner(name):
                iters, bv)
     elif name == "replay-adjoint":
         sec_replay_adjoint(rng, dtype, roofline, fanin)
+    elif name == "replay-adjoint-65k":
+        # The VERDICT r4 item-3 criterion scale: the sub-kernel-split
+        # backward makes the 65k tree compile; the export cache makes
+        # it FIT the driver window (the ~40 min one-time trace happens
+        # in the rehearsal, the driver run deserializes in seconds).
+        os.environ["BENCH_RADJ_GATES"] = "65536"
+        os.environ.setdefault("BENCH_RADJ_ITERS", "16")
+        sec_replay_adjoint(rng, dtype, roofline, fanin)
     elif name == "replay-config3":
         sec_replay_config3(rng, dtype, roofline, fanin)
     elif name == "auto-400k":
@@ -1298,7 +1478,8 @@ SECTION_RUNNERS = {
     for name in ("fused-tiled", "fused-vmem", "gather", "replay",
                  "adjoint", "stream", "spill", "config3-1M",
                  "bdd-stream", "gather-bf16", "mc-bitpacked",
-                 "replay-adjoint", "replay-config3", "auto-400k",
+                 "replay-adjoint", "replay-adjoint-65k",
+                 "replay-config3", "auto-400k",
                  "block-gather", "bsr")
 }
 
@@ -1373,6 +1554,7 @@ def main() -> None:
             ("adjoint", "adjoint", 900),
             ("config3-1M", "config3", 900),
             ("replay-adjoint", "replay-adjoint", 900),
+            ("replay-adjoint-65k", "replay-adjoint-65k", 900),
             ("replay-config3", "replay-config3", 900),
             ("auto-400k", "auto-400k", 900),
             ("stream", "stream", 600),

@@ -10,6 +10,7 @@ tunnel backend does not survive RESOURCE_EXHAUSTED — CLAUDE.md):
 Usage:  python tools/tpu_hybrid400k.py --resident 0|1024|2048
 """
 import argparse
+import sys
 import time
 
 import numpy as np
@@ -31,12 +32,24 @@ def main() -> None:
                                               stage_replay)
     from canopy_tpu.utils.synthetic import synthetic_compiled_tree
 
+    sys.path.insert(0, "/root/repo")
+    from bench import host_cached
+
     t0 = time.perf_counter()
-    tree = synthetic_compiled_tree(n_basic=8192, n_gates=args.gates,
-                                   fanin=4, n_levels=14, seed=0)
+    tree = host_cached(
+        f"tree-{args.gates}g-f4",
+        lambda: synthetic_compiled_tree(n_basic=8192, n_gates=args.gates,
+                                        fanin=4, n_levels=14, seed=0))
     t_tree = time.perf_counter() - t0
     t0 = time.perf_counter()
-    program = build_replay_schedule(tree, resident_tiles=args.resident)
+    if args.resident:
+        program = host_cached(
+            f"replay-{args.gates}g-f4-res{args.resident}",
+            lambda: build_replay_schedule(tree,
+                                          resident_tiles=args.resident))
+    else:
+        program = host_cached(f"replay-{args.gates}g-f4",
+                              lambda: build_replay_schedule(tree))
     t_sched = time.perf_counter() - t0
     print(f"schedule: res_tiles={program.res_tiles} "
           f"resident_reads={program.n_resident_reads} "
