@@ -201,7 +201,16 @@ def _build_replay(gate_rows, n_basic, n_house, top_index, brs_chunk,
                     counts[a] = counts.get(a, 0) + 1
         worth = sorted(((cnt, c) for c, cnt in counts.items()
                         if cnt > n_segs), reverse=True)
-        chosen = sorted(c for _cnt, c in worth[:resident_tiles])
+        n_res = min(resident_tiles, len(worth))
+        if pool_slots is None:
+            # The tier takes VMEM from the gate pool; keep the pool at
+            # least half the budget remainder (a starved pool's extra
+            # evictions cost more than the stream tiles saved).
+            budget_t = vmem_budget // _TILE_BYTES
+            ring_t = (brs_bufs * brs_chunk + grs_bufs * grs_chunk
+                      + slab_bufs * slab_tiles)
+            n_res = max(0, min(n_res, (budget_t - ring_t) // 2))
+        chosen = sorted(c for _cnt, c in worth[:n_res])
         if chosen:
             res_index = {c: i for i, c in enumerate(chosen)}
             res_pad = -(-len(chosen) // brs_chunk) * brs_chunk

@@ -492,8 +492,16 @@ def _replay_kernel(brs_ref, grs_ref, scr_in, scr_out, *rest, program,
 def compile_replay_stream(tree: CompiledTree, **kwargs):
     """Schedule ``tree`` as a replay-stream program
     (``compiler/replay.py``) — the coalesced-refill engine for trees
-    whose live set thrashes the plain stream pool."""
+    whose live set thrashes the plain stream pool.
+
+    The hybrid resident-basic tier defaults ON here (1024 tiles):
+    measured on the 400k-gate uniform tree it is +11.6% throughput
+    (254.5 -> 284.1 Gnnz*trials/s) and -16% staged-stream HBM despite
+    the halved gate pool's extra evictions; trees without basics read
+    more than once per segment elect nothing and pay nothing.
+    """
     from ..compiler.replay import build_replay_schedule
+    kwargs.setdefault("resident_tiles", 1024)
     return build_replay_schedule(tree, **kwargs)
 
 
