@@ -58,7 +58,8 @@ class TestGolden:
                 == golden["bdd_nodes"]
             got = float(modular_probability(mb, p))
         else:
-            bdd = build_bdd(tree)
+            bdd = build_bdd(tree, max_nodes=golden.get("bdd_max_nodes",
+                                                       2_000_000))
             assert bdd.n_nodes == golden["bdd_nodes"]
             got = float(bdd_probability(bdd, p))
         assert abs(got - golden["exact_probability"]) < 1e-10
@@ -91,6 +92,78 @@ class TestGolden:
         exact = golden["exact_probability"]
         stderr = (exact * (1 - exact) / (32 * 8192)) ** 0.5
         assert abs(estimate - exact) < 6 * stderr + 1e-4
+
+
+class TestNestedCountAnchor:
+    """The deep atleast/cardinality nesting anchor (the hardest
+    vectorization case, SURVEY.md §4.2): beyond the generic BDD/MC
+    coverage every fault-tree golden gets, drive it through a THIRD
+    engine — the replay-stream kernel's Poisson-binomial count DP —
+    bit-exact against the gather engine, and pin the structural claims
+    (nesting depth, count-gate share) the anchor exists to cover."""
+
+    NAME = "aralia_like_nested_count"
+
+    @pytest.fixture(scope="class")
+    def nested(self):
+        path = os.path.join(FIXTURES, f"{self.NAME}.xml")
+        settings = Settings().probability_analysis(True)
+        model = Initializer([path], settings).model
+        tree = compile_fault_tree(model.fault_trees.get(self.NAME))
+        return GOLDEN[self.NAME], tree
+
+    def test_structural_claims(self, nested):
+        golden, tree = nested
+        assert golden["count_nesting_depth"] >= 20
+        assert golden["count_gates"] >= 300
+        # Extreme sharing: direct propagation must NOT match the exact
+        # value (otherwise the anchor fails to exercise the exact
+        # ladder) — the BDD and the 2^22 enumeration agree instead.
+        assert abs(golden["brute_force_probability"]
+                   - golden["exact_probability"]) < 1e-9
+        from canopy_tpu.mef.event import Connective
+        n_count = sum(
+            1 for g in tree.gates
+            if g.formula.connective in (Connective.ATLEAST,
+                                        Connective.CARDINALITY))
+        assert n_count == golden["count_gates"]
+
+    def test_replay_engine_bit_exact(self, nested):
+        import numpy as np
+        import jax.numpy as jnp
+        from canopy_tpu.compiler.replay import (build_replay_schedule,
+                                                simulate_replay_program)
+        from canopy_tpu.engine.propagate import top_event_probability
+
+        golden, tree = nested
+        # The top ATLEAST-32 vote spans 86 roots: rings and pool must
+        # clear fan-in 86 (the deep-nesting anchor stresses wide count
+        # gates too).  The hazard-checking scalar simulator executes
+        # the exact kernel schedule + reduction order (interpret mode
+        # on this fan-in is minutes-slow; the simulator is the same
+        # bit-exactness oracle every replay schedule is validated by).
+        program = build_replay_schedule(
+            tree, brs_chunk=128, brs_bufs=3, grs_chunk=128, grs_bufs=2,
+            slab_bufs=3, slab_tiles=8, max_ops_per_segment=300,
+            pool_slots=128, hoist_events=8, n_refill_sems=4,
+            n_flush_sems=2)
+        assert program.n_evicted > 0
+        bp = mean_basic_probabilities(tree)
+        house = tree.house_state_vector()
+        got = simulate_replay_program(program, bp, house)
+        ref = float(top_event_probability(
+            tree, jnp.asarray(bp[None, :], jnp.float32),
+            jnp.asarray(house))[0])
+        # Wide count gates absorb into their DP cap at different
+        # positions in the two engines (same exact math, different f32
+        # rounding order — measured 2e-6 rel on the fan-in-86 vote);
+        # narrow count gates remain bit-exact (tests/test_replay.py).
+        assert got == pytest.approx(ref, rel=1e-5)
+        # Direct propagation is approximate on shared events — the
+        # anchor's exact value comes from the BDD; sanity-band only
+        # (the generator build measured ~30% divergence here).
+        assert abs(got - golden["exact_probability"]) \
+            < 0.5 * max(golden["exact_probability"], 1e-12) + 1e-9
 
 
 class TestHandEventTree:

@@ -71,6 +71,9 @@ def emit_xml(name: str, top: Gate, events: list[BasicEvent]) -> str:
         attrs = ""
         if formula.connective is Connective.ATLEAST:
             attrs = f' min="{formula.min_number}"'
+        elif formula.connective is Connective.CARDINALITY:
+            attrs = (f' min="{formula.min_number}"'
+                     f' max="{formula.max_number}"')
         body = "".join(arg_xml(a) for a in formula.args)
         if formula.connective is Connective.NULL:
             inner = body
@@ -136,6 +139,120 @@ def synthetic_noncoherent_tree(n_basic: int, n_gates: int, fanin: int,
     return top, events
 
 
+def synthetic_nested_count_tree(n_basic: int, n_gates: int, seed: int,
+                                top_mode: str = "or"):
+    """Deeply nested atleast/cardinality/complement tree — the hardest
+    vectorization case (SURVEY.md §4.2 ranks it #1): count gates whose
+    arguments are other count gates, chains many levels deep, with
+    complemented arguments mixed in.  Argument selection is
+    recency-biased so count-over-count chains actually form instead of
+    a shallow bush."""
+    from canopy_tpu.mef.expr import ConstantExpression
+    rng = np.random.default_rng(seed)
+    events = []
+    for i in range(n_basic):
+        e = BasicEvent(f"ce{i}")
+        # Mid-range probabilities: nested votes stay non-degenerate.
+        e.expression = ConstantExpression(float(rng.uniform(0.05, 0.35)))
+        events.append(e)
+    pool: list = list(events)
+    gates = []
+    for gi in range(n_gates - 1):
+        k = int(min(rng.integers(3, 7), len(pool)))
+        idx: set[int] = set()
+        while len(idx) < k:
+            if rng.random() < 0.5 and len(pool) > n_basic:
+                lo = max(n_basic, len(pool) - max(len(pool) // 4, 8))
+                idx.add(int(rng.integers(lo, len(pool))))
+            else:
+                idx.add(int(rng.integers(0, len(pool))))
+        args = [Arg(pool[c], bool(rng.random() < 0.15))
+                for c in sorted(idx)]
+        gate = Gate(f"cg{gi}")
+        u = rng.random()
+        if u < 0.45:
+            gate.formula = Formula(Connective.ATLEAST, args,
+                                   min_number=int(rng.integers(2, k)))
+        elif u < 0.75:
+            lo_n = int(rng.integers(1, k))
+            hi_n = int(rng.integers(lo_n, k + 1))
+            gate.formula = Formula(Connective.CARDINALITY, args,
+                                   min_number=lo_n, max_number=hi_n)
+        elif u < 0.90:
+            gate.formula = Formula(Connective.AND, args)
+        else:
+            gate.formula = Formula(Connective.OR, args)
+        gates.append(gate)
+        pool.append(gate)
+    top = Gate("synthetic-top")
+    roots = [g for g in gates if not g.usage] or gates[-2:]
+    if len(roots) == 1:
+        roots.append(gates[0] if gates[0] is not roots[0] else events[0])
+    # Deep vote chains saturate toward 0 or 1; the caller probes top
+    # modes per seed until the top probability is non-degenerate.
+    if top_mode == "or":
+        top.formula = Formula(Connective.OR, [Arg(r) for r in roots])
+    elif top_mode == "and":
+        top.formula = Formula(Connective.AND,
+                              [Arg(r) for r in roots[:3]])
+    else:  # ("vote", m): ATLEAST-m over ALL roots — keeps the whole
+        # gate population reachable while the threshold tunes the top
+        # probability out of saturation.
+        _tag, m = top_mode
+        k = len(roots)
+        top.formula = Formula(Connective.ATLEAST,
+                              [Arg(r) for r in roots],
+                              min_number=max(1, min(m, k - 1)))
+    return top, events
+
+
+def _count_nesting_depth(top: Gate) -> int:
+    """Longest chain of count gates (atleast/cardinality) in which each
+    gate is an argument of the next."""
+    count_kinds = (Connective.ATLEAST, Connective.CARDINALITY)
+    memo: dict[int, int] = {}
+
+    def depth(gate: Gate) -> int:
+        if id(gate) in memo:
+            return memo[id(gate)]
+        memo[id(gate)] = 0       # break cycles defensively
+        best = 0
+        for arg in gate.formula.args:
+            if isinstance(arg.event, Gate):
+                best = max(best, depth(arg.event))
+        own = 1 if gate.formula.connective in count_kinds else 0
+        memo[id(gate)] = best + own
+        return memo[id(gate)]
+
+    return depth(top)
+
+
+def _nested_count_with_sane_top(n_basic, n_gates, seed,
+                                min_depth: int = 8):
+    """Retry seeds until the top is non-degenerate AND the count-gate
+    nesting is genuinely deep."""
+    from canopy_tpu.engine.propagate import top_event_probability
+    for s in range(seed, seed + 50):
+        # An ATLEAST-m vote over ALL roots keeps every generated gate
+        # reachable; scan the threshold out of saturation first, then
+        # fall back to or/and tops.
+        modes = [("vote", m) for m in (2, 3, 5, 8, 12, 20, 32)] \
+            + ["or", "and"]
+        for mode in modes:
+            top, events = synthetic_nested_count_tree(n_basic, n_gates,
+                                                      s, top_mode=mode)
+            depth = _count_nesting_depth(top)
+            if depth < min_depth:
+                break               # depth is seed-, not mode-, driven
+            tree = compile_gates([top])
+            tree.top_index = tree.gate_index[top.id]
+            p = jnp.asarray(mean_basic_probabilities(tree))
+            approx = float(top_event_probability(tree, p))
+            if 1e-5 < approx < 0.9 and tree.n_gates >= 0.9 * n_gates:
+                return top, events, tree, depth
+    raise AssertionError("no sane nested-count seed found")
+
+
 def _noncoherent_with_sane_top(n_basic, n_gates, fanin, seed):
     """Retry seeds until the top probability is non-degenerate."""
     for s in range(seed, seed + 50):
@@ -159,13 +276,18 @@ def brute_force_probability(tree, p, chunk: int = 1 << 14) -> float:
     assert n <= 22, "enumeration bounded to 2^22 states"
     p = np.asarray(p, dtype=np.float64)
     house = jnp.asarray(tree.house_state_vector())
+    # One traced evaluation reused across all chunks (eager per-chunk
+    # evaluation re-dispatches every level op — at 2^22 states x 1000
+    # gates that costs tens of CPU-minutes; jitted it is seconds).
+    eval_chunk = jax.jit(
+        lambda bits: top_event_probability(tree, bits, house))
     total = 0.0
     for start in range(0, 1 << n, chunk):
         ids = np.arange(start, min(start + chunk, 1 << n), dtype=np.uint64)
         bits = ((ids[:, None] >> np.arange(n, dtype=np.uint64)) &
                 np.uint64(1)).astype(np.float64)
-        top = np.asarray(top_event_probability(
-            tree, jnp.asarray(bits), house), dtype=np.float64)
+        top = np.asarray(eval_chunk(jnp.asarray(bits)),
+                         dtype=np.float64)
         logw = (bits * np.log(p)[None, :]
                 + (1.0 - bits) * np.log1p(-p)[None, :]).sum(axis=1)
         total += float((top * np.exp(logw)).sum())
@@ -467,6 +589,51 @@ def freeze_plant_golden(golden: dict) -> None:
           f"bdd={mb.total_nodes}")
 
 
+def freeze_nested_count_golden(golden: dict) -> None:
+    """Deep nested-count anchor: BDD vs 2^22 enumeration vs MC."""
+    top, events, tree, depth = _nested_count_with_sane_top(
+        n_basic=22, n_gates=1000, seed=606)
+    name = "aralia_like_nested_count"
+    with open(os.path.join(FIXTURES, f"{name}.xml"), "w") as fh:
+        fh.write(emit_xml(name, top, events))
+    n_count = sum(
+        1 for g in tree.gates
+        if g.formula.connective in (Connective.ATLEAST,
+                                    Connective.CARDINALITY))
+    p = mean_basic_probabilities(tree)
+    # The unique/memo forest peaks far above the final BDD while
+    # composing 1000 deeply nested vote gates (the final canonical BDD
+    # over 22 variables is ~112k nodes).
+    bdd = build_bdd(tree, max_nodes=60_000_000)
+    exact = float(bdd_probability(bdd, jnp.asarray(p)))
+    brute = brute_force_probability(tree, p)
+    assert abs(brute - exact) < 1e-9, (brute, exact)
+    mc = float(packed_top_probability(
+        tree, jax.random.PRNGKey(0), jnp.asarray(p), MC_TRIALS))
+    stderr = float(np.sqrt(exact * (1 - exact) / MC_TRIALS))
+    assert abs(mc - exact) < 4 * stderr, (exact, mc)
+    golden[name] = {
+        "top_event": "synthetic-top",
+        "exact_probability": exact,
+        "brute_force_probability": brute,
+        "mc_estimate": mc,
+        "mc_trials": MC_TRIALS,
+        "mc_4sigma": 4 * stderr,
+        "derivation": "exact BDD vs full 2^22 state enumeration "
+                      "(agreement < 1e-9) vs 1e7-trial bit-packed MC "
+                      "(4-sigma); deep atleast/cardinality nesting — "
+                      "the hardest vectorization case (SURVEY.md §4.2)",
+        "coherent": False,
+        "n_basic": tree.n_basic, "n_gates": tree.n_gates,
+        "nnz": tree.nnz, "bdd_nodes": bdd.n_nodes,
+        "bdd_max_nodes": 60_000_000,
+        "count_gates": n_count,
+        "count_nesting_depth": depth,
+    }
+    print(f"{name}: P={exact:.8e} (brute {brute:.8e}, MC {mc:.4e}) "
+          f"depth={depth} count_gates={n_count} bdd={bdd.n_nodes}")
+
+
 def main() -> None:
     golden = {}
     configs = [
@@ -510,6 +677,16 @@ def main() -> None:
     tree = quantify_full_stack(path, name)
     freeze_bdd_vs_mc(name, tree, golden,
                      extra={"top_event": "plant-top", "ccf": True})
+
+    # Deep atleast/cardinality nesting anchor (VERDICT r4 item 9): the
+    # hardest vectorization case — 1k gates of count-over-count chains
+    # (nesting depth 60) with complemented arguments over only 22
+    # basics, so sharing is extreme (~180 reads/basic; direct
+    # propagation is off by ~30% — the anchor really exercises the
+    # exact path) and THREE independent derivations are possible:
+    # exact BDD, full 2^22 state enumeration through the propagation
+    # engine, and 1e7-trial bit-packed MC.
+    freeze_nested_count_golden(golden)
 
     # Brute-force anchor: full 2^n_basic enumeration (no BDD involvement)
     # vs the BDD — the strongest independence in the corpus.
