@@ -118,6 +118,22 @@ def host_cached(key: str, builder):
     return obj
 
 
+def export_cache_has(key: str) -> bool:
+    """Whether a serialized export exists for ``key`` on THIS backend
+    (used to skip sections whose one-time trace exceeds the driver
+    window when the cache is cold)."""
+    global _CODE_HASH
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not cache_dir or os.environ.get("BENCH_EXPORT_CACHE", "1") != "1":
+        return False
+    import jax
+    if _CODE_HASH is None:
+        _CODE_HASH = _code_hash()
+    return os.path.exists(os.path.join(
+        cache_dir, "exported",
+        f"{key}-{jax.default_backend()}-{_CODE_HASH}.bin"))
+
+
 def exported_cached(key: str, fn, *example_args):
     """Cache a jitted function as a serialized ``jax.export`` blob.
 
@@ -802,9 +818,14 @@ def sec_replay_adjoint(rng, dtype, roofline, fanin):
         lambda: synthetic_compiled_tree(n_basic=8192, n_gates=ra_gates,
                                         fanin=fanin, n_levels=14,
                                         seed=0))
+    ra_bwd = int(os.environ.get("BENCH_RADJ_BWD_OPS", "12288"))
+    ra_pool = int(os.environ.get("BENCH_RADJ_POOL", "0"))
+    ra_kw = dict(max_ops_per_segment=2048, max_bwd_ops=ra_bwd)
+    if ra_pool:
+        ra_kw["pool_slots"] = ra_pool
     aprog = host_cached(
-        f"radj-{ra_gates}g-f{fanin}-s2048",
-        lambda: build_replay_adjoint(tree_ra, max_ops_per_segment=2048))
+        f"radj-{ra_gates}g-f{fanin}-s2048-b{ra_bwd}-p{ra_pool}",
+        lambda: build_replay_adjoint(tree_ra, **ra_kw))
     b = aprog.base
     house_ra = np.zeros(0, np.float32)
     f_ra = make_differentiable_replay(aprog, house_ra)
@@ -1456,10 +1477,23 @@ def _runner(name):
     elif name == "replay-adjoint-65k":
         # The VERDICT r4 item-3 criterion scale: the sub-kernel-split
         # backward makes the 65k tree compile; the export cache makes
-        # it FIT the driver window (the ~40 min one-time trace happens
+        # it FIT the driver window (the ~17 min one-time trace happens
         # in the rehearsal, the driver run deserializes in seconds).
+        # Guard: with a COLD cache the trace would eat the whole
+        # window and starve later sections — fail fast instead.
+        import jax as _jax
+        if _jax.default_backend() == "tpu" \
+                and not export_cache_has("rep-radj-65536g"):
+            raise RuntimeError(
+                "cold export cache: the 65k adjoint's one-time host "
+                "trace (~17 min) exceeds the window; a rehearsal run "
+                "warms .jax_cache/exported first")
         os.environ["BENCH_RADJ_GATES"] = "65536"
         os.environ.setdefault("BENCH_RADJ_ITERS", "16")
+        # Default sub-kernel config: the dev r05 sweep measured larger
+        # sub-kernels + a smaller adjoint pool at only +1.5% (4.873 vs
+        # 4.948 ms/iter) — the boundary dump/load overlaps compute, so
+        # the simple config stands.
         sec_replay_adjoint(rng, dtype, roofline, fanin)
     elif name == "replay-config3":
         sec_replay_config3(rng, dtype, roofline, fanin)

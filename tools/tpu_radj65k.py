@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--seg", type=int, default=2048)
     ap.add_argument("--max-bwd-ops", type=int, default=12288)
+    ap.add_argument("--pool", type=int, default=0,
+                    help="adjoint pool slots (0 = auto); smaller pools "
+                         "shrink the per-sub-kernel dump/load traffic")
     ap.add_argument("--skip-gather", action="store_true",
                     help="skip the gather-autodiff comparison loop "
                          "(grad check still runs, T-chunked)")
@@ -43,8 +46,11 @@ def main() -> None:
     t0 = time.perf_counter()
     tree = synthetic_compiled_tree(n_basic=8192, n_gates=args.gates,
                                    fanin=4, n_levels=14, seed=0)
-    aprog = build_replay_adjoint(tree, max_ops_per_segment=args.seg,
-                                 max_bwd_ops=args.max_bwd_ops)
+    kw = dict(max_ops_per_segment=args.seg,
+              max_bwd_ops=args.max_bwd_ops)
+    if args.pool:
+        kw["pool_slots"] = args.pool
+    aprog = build_replay_adjoint(tree, **kw)
     b = aprog.base
     n_subs = sum(len(s) for s in aprog.bwd_segments)
     print(f"schedule [{time.perf_counter()-t0:.0f}s]: "
