@@ -1482,12 +1482,13 @@ def _runner(name):
         # Guard: with a COLD cache the trace would eat the whole
         # window and starve later sections — fail fast instead.
         import jax as _jax
-        if _jax.default_backend() == "tpu" \
+        if _jax.default_backend() == "tpu" and _budget_s() < 3600 \
                 and not export_cache_has("rep-radj-65536g"):
             raise RuntimeError(
                 "cold export cache: the 65k adjoint's one-time host "
                 "trace (~17 min) exceeds the window; a rehearsal run "
-                "warms .jax_cache/exported first")
+                "(BENCH_BUDGET_S >= 3600) warms .jax_cache/exported "
+                "first")
         os.environ["BENCH_RADJ_GATES"] = "65536"
         os.environ.setdefault("BENCH_RADJ_ITERS", "16")
         # Default sub-kernel config: the dev r05 sweep measured larger
