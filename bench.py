@@ -62,13 +62,17 @@ if os.environ.get("BENCH_COMPILE_CACHE", "1") == "1":
                      ".jax_cache"))
 
 def _code_hash() -> str:
-    """Hash of every package source file + this file: host-cache keys
-    embed it, so ANY code change invalidates cached build products
-    (stale schedules must never produce numbers)."""
+    """Hash of every canopy_tpu source file: host/export cache keys
+    embed it, so any PACKAGE change invalidates cached build products
+    (stale schedules must never produce numbers).  bench.py itself is
+    deliberately excluded — harness-only edits (ordering, budgets,
+    logging) must not cold the rehearsal-warmed caches; if a section's
+    MEASURED function changes, clear .jax_cache/{host,exported}
+    manually."""
     import hashlib
     h = hashlib.sha256()
     root = os.path.dirname(os.path.abspath(__file__))
-    files = [os.path.abspath(__file__)]
+    files = []
     for dirpath, _dirs, names in os.walk(os.path.join(root,
                                                       "canopy_tpu")):
         files += [os.path.join(dirpath, n) for n in sorted(names)
@@ -306,6 +310,10 @@ def run_section(name, timeout_s=900.0):
     push the run past the driver's kill window.
     """
     if os.environ.get("BENCH_SUBPROC", "1") == "1":
+        if _budget_s() >= 3600:
+            # Rehearsal mode: one-time cold traces (the 65k adjoint is
+            # ~17 min) may exceed the driver-window per-section caps.
+            timeout_s = timeout_s * 4
         timeout_s = min(timeout_s, max(_remaining_s() - 45.0, 0.0))
         if timeout_s < 60.0:
             _failed[name] = "budget exhausted before start"
