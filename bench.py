@@ -1599,14 +1599,18 @@ def main() -> None:
             ("replay-adjoint", "replay-adjoint", 900),
             ("replay-adjoint-65k", "replay-adjoint-65k", 900),
             ("replay-config3", "replay-config3", 900),
-            ("auto-400k", "auto-400k", 900),
             ("stream", "stream", 600),
             ("spill", "spill", 600),
             ("bdd-stream", "bdd", 600),
             ("gather-bf16", "bf16", 600),
             ("mc-bitpacked", "mc", 600),
             ("block-gather", "block-gather", 600),
-            ("bsr", "bsr", 600)]
+            ("bsr", "bsr", 600),
+            # Last: the public auto-dispatch row re-runs
+            # make_propagator's internal schedule build every time
+            # (~6 min of pure host work the caches cannot cover) — it
+            # must never starve the cheap sections before it.
+            ("auto-400k", "auto-400k", 900)]
     for name, alias, cap_s in plan:
         if _only is not None and alias not in _only:
             continue
