@@ -1046,7 +1046,10 @@ def sec_auto400k(rng, dtype, roofline, fanin):
         f"replay-{au_gates}g-f{fanin}",
         lambda: compile_replay_stream(tree_au))
     house_au = np.zeros(0, np.float32)
-    brs_au = jax.jit(lambda p: stage_replay(program_au, p))(basic_au)
+    stage_j = exported_cached(
+        f"auto-stage-{au_gates}g",
+        jax.jit(lambda p: stage_replay(program_au, p)), basic_au)
+    brs_au = stage_j(basic_au)
 
     @jax.jit
     def repeat_au(b, n_iter):
@@ -1070,14 +1073,17 @@ def sec_auto400k(rng, dtype, roofline, fanin):
 
     # Correctness of the dispatcher + cache invalidation: a second,
     # different array must re-stage (values match a fresh staged eval).
+    # References ride the export cache (each un-exported jit here would
+    # re-trace the 13-segment 400k program for minutes per run).
+    check_j = exported_cached(
+        f"auto-check-{au_gates}g",
+        jax.jit(lambda b: replay_propagate_staged(
+            program_au, b, house_au)), brs_au)
     r1 = np.asarray(fn(basic_au))
-    ref1 = np.asarray(jax.jit(lambda b: replay_propagate_staged(
-        program_au, b, house_au))(brs_au))
+    ref1 = np.asarray(check_j(brs_au))
     basic_au2 = basic_au.at[:, 0].mul(1.5)
     r2 = np.asarray(fn(basic_au2))
-    brs_au2 = jax.jit(lambda p: stage_replay(program_au, p))(basic_au2)
-    ref2 = np.asarray(jax.jit(lambda b: replay_propagate_staged(
-        program_au, b, house_au))(brs_au2))
+    ref2 = np.asarray(check_j(stage_j(basic_au2)))
     ok = np.array_equal(r1, ref1) and np.array_equal(r2, ref2)
 
     # Marginal repeat-call cost: T(1+N) - T(1) over N, best of 3, all
